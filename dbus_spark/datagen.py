@@ -1,0 +1,249 @@
+"""Deterministic synthetic data generators (FIXTURES.md F1/F2).
+
+Everything is seeded; the same (seed, knobs) always produces
+byte-identical tables — the per-turn text equality invariant from
+BASELINE.json depends on this. Pure numpy/pandas: the generator is the
+*fixture*, not the engine, so it deliberately avoids Spark.
+
+The transcript generator models the reference's load generator
+(MockInput, reference: plugins/bootstrap.go:5, etc/mock.cf) plus the
+fault fixtures its chaos checklist exercises (reference: TODO.md "test
+cases": duplicate delivery, replay, out-of-order resume).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+EPOCH_BASE = np.datetime64("2026-01-01T00:00:00", "us")
+
+_VOCAB = [
+    f"w{i:03d}" for i in range(256)
+]  # fixed token vocabulary — text is a deterministic "token salad"
+
+_TOOLS = np.array(["search", "python", "browser", "sql"])
+_ROLES = np.array(["user", "assistant", "tool"])
+
+
+@dataclass(frozen=True)
+class TranscriptKnobs:
+    """Perturbation knobs (FIXTURES.md F1); all on by default."""
+
+    late_frac: float = 0.02
+    dup_frac: float = 0.01
+    jitter_seconds: float = 30.0  # bounded out-of-order arrival horizon
+    watermark_seconds: float = 600.0  # horizon used to size late shifts
+    hot_conv_frac: float = 0.05  # top conversation holds ~5% of turns
+
+
+def generate_transcripts(
+    n_convs: int = 100,
+    seed: int = 42,
+    mean_turns: int = 12,
+    knobs: TranscriptKnobs | None = None,
+) -> pd.DataFrame:
+    """Generate the transcript table with skew/late/dup/ooo fixtures.
+
+    Returns a pandas DataFrame with the BASELINE.json input_hint columns
+    ``conv_id, turn_idx, role, text, tool, ts`` plus an ``_arrival``
+    timestamp column (processing-time order; drop before handing the
+    frame to the engine, use it to split streaming micro-batch files).
+    Rows are sorted by ``_arrival``.
+    """
+    knobs = knobs or TranscriptKnobs()
+    rng = np.random.default_rng(seed)
+
+    # Conversation sizes: Zipf(s=1.2) clipped, so a few convs are hot.
+    sizes = np.clip(rng.zipf(1.2, size=n_convs), 2, mean_turns * 8)
+    total = int(sizes.sum())
+    # Force the skew fixture: conv 0 holds ~hot_conv_frac of all turns.
+    hot = max(int(total * knobs.hot_conv_frac), int(sizes.max()) + 1)
+    sizes[0] = hot
+    total = int(sizes.sum())
+
+    conv_ord = np.repeat(np.arange(n_convs), sizes)
+    conv_id = np.char.add("conv", np.char.zfill(conv_ord.astype(str), 8))
+    turn_idx = np.concatenate([np.arange(s) for s in sizes]).astype(np.int32)
+
+    # Roles: user starts every conversation; then a user/assistant cycle
+    # with seeded tool turns replacing ~30% of assistant follow-ups.
+    base_cycle = _ROLES[turn_idx % 3]  # user, assistant, tool, user, ...
+    demote = rng.random(total) < 0.3
+    role = np.where((base_cycle == "tool") & demote, "assistant", base_cycle)
+    role[turn_idx == 0] = "user"
+
+    tool = np.where(
+        role == "tool", _TOOLS[rng.integers(0, len(_TOOLS), total)], None
+    )
+
+    # Event time: conversation k starts at base + k*7s; per-turn gaps
+    # Exp(mean 20 s), cumulative within the conversation.
+    gaps = rng.exponential(20.0, size=total)
+    gaps[turn_idx == 0] = 0.0
+    starts = conv_ord.astype(np.float64) * 7.0
+    # cumulative sum per conversation, vectorized via global cumsum reset
+    g = np.cumsum(gaps)
+    first_pos = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    offset_at_start = np.repeat(g[first_pos], sizes)
+    within = g - offset_at_start + np.repeat(gaps[first_pos], sizes)
+    ts_sec = starts + within
+    ts = EPOCH_BASE + (ts_sec * 1e6).astype("timedelta64[us]")
+
+    # Text: deterministic token salad, 5..40 vocab words per turn.
+    n_words = rng.integers(5, 41, size=total)
+    word_ids = rng.integers(0, len(_VOCAB), size=int(n_words.sum()))
+    vocab = np.array(_VOCAB)
+    joined: list[str] = []
+    pos = 0
+    for n in n_words:
+        joined.append(" ".join(vocab[word_ids[pos : pos + n]]))
+        pos += n
+    text = np.array(
+        [f"t{c}-{t} {w}" for c, t, w in zip(conv_id, turn_idx, joined)]
+    )
+
+    # Arrival (processing) time: event time + bounded jitter (the
+    # out-of-order fixture) + big shifts for the late-data fixture.
+    arrival_sec = ts_sec + rng.uniform(0, knobs.jitter_seconds, total)
+    n_late = int(total * knobs.late_frac)
+    late_rows = rng.choice(total, size=n_late, replace=False)
+    half = n_late // 2
+    # half inside the watermark horizon (must be included) ...
+    arrival_sec[late_rows[:half]] += rng.uniform(
+        knobs.jitter_seconds, knobs.watermark_seconds * 0.8, half
+    )
+    # ... half far beyond it (must be dropped by watermarked operators)
+    arrival_sec[late_rows[half:]] += rng.uniform(
+        knobs.watermark_seconds * 1.2,
+        knobs.watermark_seconds * 1.5,
+        n_late - half,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+            "_arrival": arrival_sec,
+        }
+    )
+
+    # Duplicates: 1% of rows re-emitted with a later arrival (the
+    # at-least-once redelivery fixture the idempotent sink must absorb).
+    n_dup = int(total * knobs.dup_frac)
+    dup_rows = df.iloc[rng.choice(total, size=n_dup, replace=False)].copy()
+    dup_rows["_arrival"] = dup_rows["_arrival"] + rng.uniform(
+        1.0, knobs.jitter_seconds, n_dup
+    )
+    df = pd.concat([df, dup_rows], ignore_index=True)
+
+    df = df.sort_values("_arrival", kind="stable").reset_index(drop=True)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def write_stream_batches(
+    df: pd.DataFrame, out_dir: str, n_files: int = 8
+) -> list[str]:
+    """Split an ``_arrival``-ordered transcript frame into N parquet
+    files (micro-batch fixture for the file-stream source). Returns the
+    file paths in arrival order."""
+    os.makedirs(out_dir, exist_ok=True)
+    body = df.drop(columns=["_arrival"])
+    paths = []
+    for i, chunk in enumerate(np.array_split(np.arange(len(body)), n_files)):
+        p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
+        body.iloc[chunk].to_parquet(p, index=False)
+        paths.append(p)
+    return paths
+
+
+# --- F2: reference-shaped CDC events (golden-compat fixture) ---------
+
+GOLDEN_ROWS_EVENT = {
+    # the canonical event from the reference's golden serialization test
+    # (reference: pkg/model/rowsevent_test.go:11-21)
+    "log": "mysql-bin.0001",
+    "pos": 498876,
+    "db": "mydabase",
+    "tbl": "user_account",
+    "dml": "I",
+    "ts": 1486554654,
+    "cols": ["name", "age", "note"],
+    "rows": [["user", "15", "hello world"]],
+}
+
+
+def generate_rows_events(
+    n_events: int = 1000, seed: int = 42, golden_first: bool = True
+) -> pd.DataFrame:
+    """Reference-shaped binlog rows-event table (FIXTURES.md F2).
+
+    dbs db1..db4 (allow/exclude fixture ≈ etc/canal.cf db_excluded),
+    monotone pos per log file with rotation every 10^4, 10% update
+    events carrying [before, after] row pairs.
+    """
+    rng = np.random.default_rng(seed)
+    dbs = np.array([f"db{i}" for i in range(1, 5)])
+    tbls = np.array([f"tbl{i}" for i in range(1, 4)])
+
+    db = dbs[rng.integers(0, len(dbs), n_events)]
+    tbl = tbls[rng.integers(0, len(tbls), n_events)]
+    dml = np.where(
+        rng.random(n_events) < 0.10,
+        "U",
+        np.where(rng.random(n_events) < 0.5, "I", "D"),
+    )
+    file_no = np.arange(n_events) // 10_000
+    log = np.array([f"mysql-bin.{i:04d}" for i in file_no])
+    pos = (np.arange(n_events) % 10_000) * 217 + 4
+    ts_sec = 1486554654 + np.cumsum(rng.exponential(0.5, n_events))
+    ts = np.datetime64("1970-01-01", "us") + (ts_sec * 1e6).astype(
+        "timedelta64[us]"
+    )
+    dt = ts + np.timedelta64(50_000, "us")
+
+    cols = [["name", "age", "note"]] * n_events
+    rows = []
+    for i in range(n_events):
+        after = [f"user{i}", str(int(rng.integers(10, 90))), "hello world"]
+        if dml[i] == "U":
+            before = [f"user{i}", str(int(rng.integers(10, 90))), "old"]
+            rows.append([before, after])
+        else:
+            rows.append([after])
+
+    df = pd.DataFrame(
+        {
+            "log": log,
+            "pos": pos.astype(np.int64),
+            "db": db,
+            "tbl": tbl,
+            "dml": dml,
+            "ts": ts.astype("datetime64[us]"),
+            "dt": dt.astype("datetime64[us]"),
+            "cols": cols,
+            "rows": rows,
+        }
+    )
+    if golden_first:
+        g = GOLDEN_ROWS_EVENT
+        df.iloc[0] = {
+            "log": g["log"],
+            "pos": g["pos"],
+            "db": g["db"],
+            "tbl": g["tbl"],
+            "dml": g["dml"],
+            "ts": np.datetime64(g["ts"], "s").astype("datetime64[us]"),
+            "dt": np.datetime64(g["ts"], "s").astype("datetime64[us]"),
+            "cols": g["cols"],
+            "rows": g["rows"],
+        }
+    return df

@@ -1,0 +1,55 @@
+"""Gap-based session windows per conversation.
+
+Target-scope operator (SURVEY.md §2.5 "Windows"): the reference has no
+sessionization; we use Spark's native ``session_window`` aggregation —
+state-store-backed on streams, plain hash-agg on batch — instead of a
+hand-rolled stateful operator, so watermark-driven state eviction is
+built in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "conv_id",
+    ts: str = "ts",
+    order: str = "turn_idx",
+    role: str = "role",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sessions = runs of turns with inter-turn gap < ``gap``.
+
+    Output: ``key, session_start, last_ts, n_turns, roles`` where
+    ``roles`` is the comma-joined role sequence in (ts, order) order —
+    the FIXTURES.md F4 ``expected_sessions`` shape. The role sequence is
+    rebuilt deterministically from data (array_sort on (ts, order)),
+    never from partition iteration order (SURVEY.md §7.4 risk 1).
+    """
+    src = df.withWatermark(ts, watermark) if watermark else df
+    agg = src.groupBy(
+        F.session_window(F.col(ts), gap).alias("_sw"), F.col(key)
+    ).agg(
+        F.count("*").alias("n_turns"),
+        F.max(ts).alias("last_ts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(ts), F.col(order), F.col(role)))
+                ),
+                lambda x: x[role],
+            ),
+            ",",
+        ).alias("roles"),
+    )
+    return agg.select(
+        F.col(key),
+        F.col("_sw.start").alias("session_start"),
+        "last_ts",
+        "n_turns",
+        "roles",
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference engine's hand-tuned runtime knobs
+(pool sizes / channel depths, reference: engine/global.go:72-87,
+cmd/dbusd/option.go:53-69) with the Spark-native equivalents:
+AQE, shuffle-partition sizing, Arrow batching, and state-store tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[N], 128 GiB, parquet inputs).
+# On a real 1000-executor cluster only master/shuffle.partitions change;
+# everything else is scale-invariant policy.
+_DEFAULT_CONFS = {
+    # Let AQE coalesce/split shuffle partitions at runtime; handles skew
+    # joins without manual salting where Spark supports it.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / applyInPandas crossing (input_hint:
+    # no per-row Python anywhere).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Micro-batch state store: RocksDB spills to disk, so per-key state
+    # stays bounded in memory at 10^12-turn scale.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # Streaming micro-batch planning.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    # Deterministic timezone for window arithmetic + oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "dbus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (the driver's
+    contract), shuffle partitions default to the core count — at cluster
+    scale set this to 2-3x total cores instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
+    builder = builder.config("spark.default.parallelism", str(shuffle))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
