@@ -1,0 +1,180 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Batch queries run on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with local[$SPARK_GRAFT_CPUS]; each is forced end-to-end with a noop
+write (full evaluation, no driver collect). The streaming benchmark
+replays a generated transcript stream through the flagship pipeline
+(watermarked window agg → idempotent sink) and reports sustained
+turns/sec + p95 micro-batch latency — the BASELINE.json headline
+metric. Run with SPARK_GRAFT_BENCH_SCALING=1 to run the streaming job
+at local[8] and local[32] and report scaling efficiency (the N vs 4N
+executors criterion, sandbox form).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BATCH_QUERIES = [
+    "route_exact",
+    "route_wildcard",
+    "fanout_counts",
+    "tumbling_window",
+    "tumbling_window_salted",
+    "sliding_window",
+    "session_window_user",
+    "interval_join",
+    "ordered_seq",
+    "topk_per_user",
+    "event_json",
+    "doc_exact_dedup",
+    "doc_token_count",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_minhash",
+    "doc_lsh_pairs",
+    "doc_simhash",
+    "doc_jaccard_pairs",
+    "emb_knn",
+    "emb_knn_lsh",
+    "multimodal_features",
+]
+
+STREAM_TURNS_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_batch(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in BATCH_QUERIES:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_streaming(spark, n_convs: int) -> dict:
+    """Flagship streaming pipeline, end to end, on a fresh session."""
+    from pyspark.sql import functions as F
+
+    from dbus_spark.datagen import generate_transcripts, write_stream_batches
+    from dbus_spark.operators import windowed_agg
+    from dbus_spark.sinks import IdempotentKeyedSink
+    from dbus_spark.sources import transcript_file_stream
+    from dbus_spark.streaming import MetricsListener
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        write_stream_batches(pdf, os.path.join(work, "in"), n_files=8)
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+        sink = IdempotentKeyedSink(
+            os.path.join(work, "out"), keys=["conv_id", "window_start"]
+        )
+        src = transcript_file_stream(
+            spark, os.path.join(work, "in"), max_files_per_trigger=1
+        )
+        agg = windowed_agg(
+            src,
+            "1 minute",
+            aggs={
+                "n_turns": F.count("*"),
+                "tok_sum": F.sum(F.length("text")),
+            },
+            keys=["conv_id"],
+            watermark="10 minutes",
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        s = listener.summary()
+        spark.streams.removeListener(listener)
+        return {
+            "sec": round(wall, 3),
+            "rows": len(pdf),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+            "sustained_rows_per_sec": round(
+                s.get("sustained_rows_per_sec", 0.0), 1
+            ),
+            "p95_batch_ms": s.get("p95_batch_ms", None),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _session(cpus: int):
+    from dbus_spark.session import get_spark
+
+    return get_spark(
+        app_name="dbus_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = _session(cpus)
+    t_all = time.time()
+    queries = run_batch(spark, sf_dir)
+    stream = run_streaming(spark, STREAM_TURNS_CONVS)
+    queries["streaming_pipeline"] = stream["sec"]
+
+    result = {
+        "metric": "end-to-end bench seconds (batch operator suite + "
+        "streaming transcript pipeline)",
+        "value": round(time.time() - t_all, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": stream,
+        "cpus": cpus,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        spark.stop()
+        scaling = {}
+        for c in (8, 32):
+            s = _session(c)
+            r = run_streaming(s, STREAM_TURNS_CONVS)
+            scaling[f"local[{c}]"] = r
+            s.stop()
+        t_n = scaling["local[8]"]["turns_per_sec"]
+        t_4n = scaling["local[32]"]["turns_per_sec"]
+        result["scaling"] = {
+            **scaling,
+            "efficiency": round((t_4n / t_n) / 4, 3) if t_n else None,
+        }
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference declares a dedup store and never implements it
+(reference: pkg/idempotent/repository.go:1-5); a 100 TB training-data
+pipeline needs the full ladder:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  hash, combiner-friendly.
+- n-gram Jaccard: explode-shingle → self-join on shingle → agg. The
+  join is shuffle-on-shingle (hot shingles behave like hot keys — we
+  drop top-frequency shingles like classic suffix-array dedup does).
+- MinHash + LSH: per-doc signature (map-side only, no shuffle), band →
+  bucket-join so candidate generation shuffles |docs|·n_bands rows,
+  never the O(n²) pair space.
+- SimHash: 32-bit sketch via bit-vote aggregation, hamming-adjacent
+  buckets as the candidate filter.
+
+All hashes derive from md5 hex (first 8 hex chars → int), chosen for
+cross-engine reproducibility (same value in DuckDB:
+``('0x'||substr(md5(s),1,8))::BIGINT``), not speed; swap for
+xxhash64 when oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbus_spark.operators.text import fingerprint, tokens
+
+
+def _h32(c: Column) -> Column:
+    """Deterministic 32-bit hash reproducible in ANSI SQL."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: keeper id + copy count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each duplicate group."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    # broadcast-free: semi join on the id (both sides shuffle on id)
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def word_shingles(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(col)
+    # guard: Spark's sequence(0, k) descends for k<0 — short docs get
+    # an empty shingle set instead
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity via explode + shuffle-join —
+    the distributed formulation: |docs|·|shingles| rows shuffled, never
+    the O(n²) pair matrix materialized below the threshold."""
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("sh")
+    ).select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        ).filter(F.col("jaccard") > threshold)
+    )
+
+
+# Affine MinHash permutations over the prime field GF(p), p = 2^31-1.
+# One (expensive, md5-based) base hash per shingle, then n cheap
+# arithmetic permutations h_i(x) = (a_i*x + b_i) mod p -- the classic
+# formulation; a_i*x stays < 2^62 so 64-bit arithmetic never overflows.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs shared by the Spark operator and the
+    SQL oracle generator."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=n_hashes)
+    b = rng.integers(0, MINHASH_P, size=n_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of
+    (h32(shingle) % p * a_i + b_i) % p. One md5 per shingle total;
+    pure map-side -- no shuffle."""
+    coeffs = minhash_coeffs(n_hashes)
+    # base-hash every shingle once (the only md5 work in the operator)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: _h32(s) % F.lit(MINHASH_P),
+        ).alias("_hs"),
+    )
+    def _perm(a: int, b: int):
+        # must be a strictly unary lambda: pyspark counts every
+        # parameter (defaults included) as a lambda argument
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hs"), _perm(a, b)))
+            for (a, b) in coeffs
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into bands,
+    bucket-join on (band_idx, band values). Shuffle volume is
+    |docs|·n_bands, and only same-bucket docs ever meet."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(
+                            "sig", b * rows_per_band + 1, rows_per_band
+                        ).alias("vals"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.vals")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "vals"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash sketch: bit j is the sign of the ±1 vote over all token
+    hashes' j-th bits (token multiset, not distinct — classic SimHash).
+    Single pass over the token array per row, no shuffle."""
+    toks = tokens(text_col)
+    # hash each token once, then fold the ±1 bit votes
+    hashes = F.transform(toks, lambda t: _h32(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(n_bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit j set iff vote > 0; 2^j is exact in double for j < 53
+    sh = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return df.select(F.col(id_col), sh.alias("simhash"))

@@ -1,0 +1,114 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct — the Spark-side plumbing (schema, Arrow batch
+shape, ``mapInPandas`` signature, partition sizing) is real and tested;
+the actual codec step is stubbed (this container has no image/audio
+libraries): ``fake_decoder`` is a deterministic byte-hash "decode" used
+by tests, ``real_decoder`` raises NotImplementedError and documents
+what to plug in (PIL/torchaudio/pyav).
+
+Scale notes: decode is the textbook mapInPandas case — pure map-side,
+no shuffle, CPU-bound — so throughput scales with executors as long as
+input splits stay balanced; keep ``spark.sql.files.maxPartitionBytes``
+small enough that a partition of heavy blobs fits in executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, id_col: str = "doc_id", n_bytes: int = 256
+) -> DataFrame:
+    """Deterministic fake binary payload per row (test fixture):
+    content = repeated md5 bytes of the id — no RNG, replay-stable."""
+    hex_blob = F.md5(F.col(id_col).cast("string"))
+    repeats = (n_bytes + 15) // 16
+    return df.withColumn(
+        "content", F.to_binary(F.repeat(hex_blob, repeats), F.lit("hex"))
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def fake_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
+    """Deterministic stand-in for image decode + feature extraction:
+    features = normalized bytes of md5(content) — stable across runs,
+    shaped like a real embedding head's output."""
+    h = hashlib.md5(content).digest()
+    raw = np.frombuffer((h * ((n_features // 16) + 1))[:n_features], np.uint8)
+    return (raw.astype(np.float32) / 255.0).round(4)
+
+
+def real_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not in this container); "
+        "plug a codec in here — the Spark plumbing does not change"
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decoder,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` (Arrow batches).
+
+    The generator processes whole Arrow batches, holding one batch in
+    memory at a time — the pattern that survives blobs at 100 TB. The
+    decoder is row-local so the stage is map-side only.
+    """
+
+    def decode_batches(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[content_col].str.len().astype("int32"),
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode_batches, schema=FEATURE_SCHEMA
+    )
