@@ -1,0 +1,79 @@
+"""Vectorized (Arrow) pandas UDFs — the engine's text-transform path.
+
+The BASELINE.json input_hint mandates that all text transforms run as
+vectorized Arrow pandas UDFs with no per-row Python: each UDF below
+receives whole Arrow batches as pandas Series and answers with
+C-backed pandas/numpy kernels (str ops, hash_pandas_object) — no
+Python-level row loop anywhere.
+
+Besides the mandate, these have a scale property the JVM higher-order
+functions in ``operators/text.py`` lack in local mode: pandas UDFs
+execute in separate Python worker processes (one per core), so heavy
+text stages sidestep single-JVM GC/allocator contention. The JVM
+variants remain the oracle-parity path (md5-reproducible in SQL);
+these are the throughput path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dbus_spark.operators.text import LANG_MARKERS, _LANG_ORDER, STOPWORDS
+
+
+@pandas_udf(T.IntegerType())
+def token_count_v(s: pd.Series) -> pd.Series:
+    return s.str.split().str.len().fillna(0).astype("int32")
+
+
+@pandas_udf(T.LongType())
+def fingerprint64_v(s: pd.Series) -> pd.Series:
+    """64-bit normalized-text fingerprint (vectorized hash; not the
+    md5 oracle fingerprint — use operators.text.fingerprint for that)."""
+    norm = s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+    return pd.util.hash_pandas_object(norm, index=False).astype("int64")
+
+
+@pandas_udf(T.StringType())
+def lang_id_v(s: pd.Series) -> pd.Series:
+    """Marker-word voting, same semantics as operators.text.lang_id,
+    computed with C-backed regex counts."""
+    low = s.str.lower()
+    scores = {
+        lang: sum(
+            low.str.count(rf"\b{m}\b") for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = pd.Series("und", index=s.index)
+    best_score = pd.Series(0, index=s.index)
+    for lang in reversed(_LANG_ORDER):
+        sc = scores[lang]
+        take = sc >= best_score.where(best_score > 1, 1)
+        best = best.mask(take, lang)
+        best_score = best_score.mask(take, sc)
+    return best
+
+
+@pandas_udf(T.DoubleType())
+def stopword_ratio_v(s: pd.Series) -> pd.Series:
+    low = s.str.lower()
+    n_stop = sum(low.str.count(rf"\b{w}\b") for w in STOPWORDS)
+    n_tok = s.str.split().str.len()
+    return (n_stop / n_tok).fillna(0.0).round(4)
+
+
+def enrich_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The flagship per-turn enrichment stage: token count, 64-bit
+    fingerprint, language — all Arrow-vectorized."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count_v(c))
+        .withColumn("fp64", fingerprint64_v(c))
+        .withColumn("lang", lang_id_v(c))
+    )

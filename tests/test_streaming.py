@@ -1,0 +1,197 @@
+"""Streaming end-to-end tests (the reference's chaos checklist analog:
+kill → resume → no duplicates; replay-stable output — TODO.md "reset
+binlog pos, and check kafka did not recv dup events")."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dbus_spark.datagen import (
+    TranscriptKnobs,
+    generate_transcripts,
+    write_stream_batches,
+)
+from dbus_spark.operators import windowed_agg, ordered_turns_stream
+from dbus_spark.operators.ordering import dedup_within_watermark
+from dbus_spark.sinks import IdempotentKeyedSink
+from dbus_spark.sources import transcript_file_stream
+from dbus_spark.streaming import MetricsListener
+from tests import oracle_pd
+
+
+@pytest.fixture()
+def stream_fixture(tmp_path):
+    pdf = generate_transcripts(n_convs=50, seed=42)
+    paths = write_stream_batches(pdf, str(tmp_path / "in"), n_files=5)
+    return pdf, paths, tmp_path
+
+
+def _run_windowed(spark, tmp_path, sink, stop_after=None):
+    src = transcript_file_stream(spark, str(tmp_path / "in"), 1)
+    agg = windowed_agg(
+        src,
+        "1 minute",
+        aggs={"n_turns": F.count("*")},
+        keys=["conv_id"],
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    if stop_after is None:
+        q.processAllAvailable()
+        q.stop()
+    else:
+        import time
+
+        while len(os.listdir(sink.meta_path)) < stop_after:
+            time.sleep(0.2)
+        q.stop()
+    q.awaitTermination(60)
+
+
+def test_streaming_window_matches_micro_batch_oracle(
+    spark, stream_fixture
+):
+    pdf, paths, tmp_path = stream_fixture
+    sink = IdempotentKeyedSink(
+        str(tmp_path / "out"), keys=["conv_id", "window_start"]
+    )
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        _run_windowed(spark, tmp_path, sink)
+    finally:
+        spark.streams.removeListener(listener)
+    got = (
+        sink.read(spark)
+        .select("conv_id", "window_start", "n_turns")
+        .toPandas()
+    )
+    batches = [pd.read_parquet(p) for p in paths]
+    exp = oracle_pd.expected_append_mode_windows(batches, 600, 60)[
+        ["conv_id", "window_start", "n_turns"]
+    ]
+    from tests.conftest import assert_pdf_equal
+
+    assert_pdf_equal(got, exp, ["conv_id", "window_start"])
+    # the listener captured per-batch lineage + rates
+    s = listener.summary()
+    assert s["batches"] >= 5
+    assert s["total_input_rows"] == len(pdf)
+    assert s["sustained_rows_per_sec"] > 0
+
+
+def test_kill_resume_exactly_once(spark, stream_fixture):
+    """Kill mid-stream, resume from checkpoint: same rows, no dups —
+    upgrades the reference's at-least-once (batch rewind duplicates,
+    pkg/kafka/producer.go:219-224) to exactly-once."""
+    pdf, paths, tmp_path = stream_fixture
+    sink = IdempotentKeyedSink(
+        str(tmp_path / "out"), keys=["conv_id", "window_start"]
+    )
+    _run_windowed(spark, tmp_path, sink, stop_after=2)  # kill
+    _run_windowed(spark, tmp_path, sink)  # resume, drain
+    out = sink.read(spark)
+    dups = (
+        out.groupBy("conv_id", "window_start")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+    batches = [pd.read_parquet(p) for p in paths]
+    exp = oracle_pd.expected_append_mode_windows(batches, 600, 60)
+    assert out.count() == len(exp)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The declared-but-empty dedup store of the reference
+    (pkg/idempotent/repository.go), actually implemented."""
+    knobs = TranscriptKnobs(late_frac=0.0, dup_frac=0.05)
+    pdf = generate_transcripts(n_convs=30, seed=5, knobs=knobs)
+    write_stream_batches(pdf, str(tmp_path / "in"), n_files=3)
+    src = transcript_file_stream(spark, str(tmp_path / "in"), 1)
+    deduped = dedup_within_watermark(src, watermark="30 minutes")
+    collected = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    got = pd.concat(collected, ignore_index=True)
+    uniq = pdf.drop_duplicates(["conv_id", "turn_idx"])
+    assert len(got) == len(uniq)
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+
+
+def _sentinel(ts):
+    df = pd.DataFrame(
+        {
+            "conv_id": ["zzz_sentinel"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["sentinel"],
+            "tool": pd.array([None], dtype="string"),
+            "ts": [pd.Timestamp(ts)],
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def test_ordered_turns_stream_per_turn_text_equality(spark, tmp_path):
+    """The BASELINE.json invariant on the streaming path: the stateful
+    per-conversation operator emits every turn exactly once, in
+    turn_idx order, byte-identical text — despite out-of-order arrival
+    and duplicate redelivery."""
+    knobs = TranscriptKnobs(late_frac=0.0, dup_frac=0.02)
+    pdf = generate_transcripts(n_convs=25, seed=11, knobs=knobs)
+    in_dir = tmp_path / "in"
+    write_stream_batches(pdf, str(in_dir), n_files=4)
+    # two sentinel batches: the first advances the watermark past every
+    # buffered key's timeout, the second triggers the timeout sweep
+    far = pdf["ts"].max() + pd.Timedelta(hours=2)
+    _sentinel(far).to_parquet(in_dir / "batch-90000.parquet", index=False)
+    _sentinel(far + pd.Timedelta(minutes=1)).to_parquet(
+        in_dir / "batch-90001.parquet", index=False
+    )
+
+    src = transcript_file_stream(spark, str(in_dir), 1)
+    ordered = ordered_turns_stream(
+        src, watermark="10 minutes", flush_after_ms=1_000
+    )
+    collected = []
+    q = (
+        ordered.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = pd.concat(collected, ignore_index=True)
+    got = got[got["conv_id"] != "zzz_sentinel"]
+    exp = oracle_pd.expected_ordered(pdf.drop(columns=["_arrival"]))
+    # exactly once
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert len(got) == len(exp)
+    # per-turn text equality under stable ordering
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["text"], exp["text"], check_names=False)
+    pd.testing.assert_series_equal(
+        g["turn_idx"].astype("int64"),
+        exp["turn_idx"].astype("int64"),
+        check_names=False,
+    )

@@ -1,0 +1,51 @@
+"""Arrow pandas-UDF text transforms (the input_hint throughput path)."""
+
+import pandas as pd
+
+from dbus_spark.functions.vectorized import (
+    enrich_turns,
+    lang_id_v,
+    stopword_ratio_v,
+    token_count_v,
+)
+from dbus_spark.operators.text import token_count
+
+
+def test_token_count_v_matches_jvm(spark, transcripts_df):
+    df = transcripts_df.limit(500).select("text")
+    got = df.select(
+        token_count_v("text").alias("v"),
+        token_count("text").alias("jvm"),
+    ).toPandas()
+    assert (got["v"] == got["jvm"]).all()
+
+
+def test_lang_id_v_examples(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the hat is a cat",),
+            ("le chat et la maison des les",),
+            ("xyzzy plugh quux",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(lang_id_v("text")).collect()]
+    assert got == ["en", "fr", "und"]
+
+
+def test_stopword_ratio_v(spark):
+    df = spark.createDataFrame([("the cat runs",), ("cat runs fast",)], ["text"])
+    got = [r[0] for r in df.select(stopword_ratio_v("text")).collect()]
+    assert got[0] > got[1]
+
+
+def test_enrich_turns_deterministic(spark, transcripts_df):
+    df = transcripts_df.limit(300)
+    a = enrich_turns(df).select("conv_id", "turn_idx", "n_tokens", "fp64", "lang")
+    p1 = a.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    p2 = a.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+    # fingerprints separate distinct texts (and collide on the
+    # duplicate-redelivery fixture rows, which share text)
+    texts = df.select("text").toPandas()["text"]
+    assert p1["fp64"].nunique() == texts.nunique()
