@@ -164,6 +164,22 @@ def _session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize() with the deterministic in-session event-type
+    sequence (the FIXTURES.md expected_sessions shape on events)."""
+    from dbus_spark.operators import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(
+        events,
+        gap="30 minutes",
+        key="user_id",
+        ts="ts",
+        order="event_id",
+        role="event_type",
+    ).withColumnRenamed("roles", "type_seq")
+
+
 def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter("event_type = 'click'").select(
@@ -325,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_salted": _tumbling_window_salted,
         "sliding_window": _sliding_window,
         "session_window_user": _session_window_user,
+        "session_roles": _session_roles,
         "interval_join": _interval_join,
         "ordered_seq": _ordered_seq,
         "topk_per_user": _topk_per_user,
@@ -444,6 +461,23 @@ def oracle_sql() -> dict[str, str]:
             "  FROM l"
             ") SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "session_roles": (
+            "WITH l AS ("
+            "  SELECT user_id, ts, event_id, lag(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id) AS prev, "
+            "    event_type"
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts, event_id, event_type, "
+            "  SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid"
+            "  FROM l"
+            ") SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, "
+            "COUNT(*) AS n_turns, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq "
+            "FROM s GROUP BY user_id, sid"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

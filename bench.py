@@ -28,6 +28,7 @@ BATCH_QUERIES = [
     "tumbling_window_salted",
     "sliding_window",
     "session_window_user",
+    "session_roles",
     "interval_join",
     "ordered_seq",
     "topk_per_user",
@@ -156,22 +157,23 @@ def main() -> None:
         "cpus": cpus,
     }
 
+    spark.stop()
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
-        spark.stop()
-        scaling = {}
-        for c in (8, 32):
-            s = _session(c)
-            r = run_streaming(s, STREAM_TURNS_CONVS)
-            scaling[f"local[{c}]"] = r
-            s.stop()
-        t_n = scaling["local[8]"]["turns_per_sec"]
-        t_4n = scaling["local[32]"]["turns_per_sec"]
-        result["scaling"] = {
-            **scaling,
-            "efficiency": round((t_4n / t_n) / 4, 3) if t_n else None,
-        }
-    else:
-        spark.stop()
+        # N vs 4N must run in separate processes: two sessions in one
+        # python process share a JVM (and its heap sizing), which
+        # invalidates the comparison — scaling_bench isolates them.
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, "scaling_bench.py", "--n", "2", "--repeats", "2"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        try:
+            result["scaling"] = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception:
+            result["scaling"] = {"error": proc.stderr[-500:]}
 
     print(json.dumps(result))
 

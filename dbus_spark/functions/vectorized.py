@@ -68,12 +68,32 @@ def stopword_ratio_v(s: pd.Series) -> pd.Series:
     return (n_stop / n_tok).fillna(0.0).round(4)
 
 
+@pandas_udf(T.DoubleType())
+def quality_score_v(s: pd.Series) -> pd.Series:
+    """Composite quality score: length band + alpha ratio + mean token
+    length band — the cheap pre-dedup filter of a training pipeline."""
+    n_chars = s.str.len().clip(lower=1)
+    alpha = s.str.count(r"[A-Za-z]")
+    n_tok = s.str.split().str.len().clip(lower=1)
+    mean_tok = (n_chars - n_tok + 1) / n_tok
+    len_band = ((n_chars >= 32) & (n_chars <= 100_000)).astype(float)
+    tok_band = ((mean_tok >= 2.0) & (mean_tok <= 12.0)).astype(float)
+    return (
+        (0.4 * (alpha / n_chars) + 0.3 * len_band + 0.3 * tok_band)
+        .astype(float)
+        .round(4)
+    )
+
+
 def enrich_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The flagship per-turn enrichment stage: token count, 64-bit
-    fingerprint, language — all Arrow-vectorized."""
+    fingerprint, language, stopword ratio, quality score — all
+    Arrow-vectorized."""
     c = F.col(text_col)
     return (
         df.withColumn("n_tokens", token_count_v(c))
         .withColumn("fp64", fingerprint64_v(c))
         .withColumn("lang", lang_id_v(c))
+        .withColumn("stop_ratio", stopword_ratio_v(c))
+        .withColumn("quality", quality_score_v(c))
     )

@@ -414,6 +414,39 @@ class Pipeline:
             for name, df in self.outputs(spark, sources).items()
         }
 
+    def to_dot(self) -> str:
+        """Graphviz dot of the plugin DAG (engine/diagram.go:10-67
+        analog). Edges are static: producer → consumer whenever the
+        consumer's match list could accept the producer's name or its
+        rewritten idents (value-level routing stays dynamic)."""
+        lines = ["digraph pipeline {", "  rankdir=LR;"]
+        shapes = {"Input": "box", "Filter": "ellipse", "Output": "cds"}
+        for p in self.plugins.values():
+            lines.append(
+                f'  "{p.name}" [shape={shapes[p.kind]} '
+                f'label="{p.name}\\n{p.class_name}"];'
+            )
+        producers = [
+            p for p in self.plugins.values() if p.kind in ("Input", "Filter")
+        ]
+        for c in self.plugins.values():
+            if c.kind == "Input" or not c.matches:
+                continue
+            for prod in producers:
+                if prod.name == c.name:
+                    continue
+                static_idents = {prod.name}
+                if prod.kind == "Filter":
+                    # a re-key filter can emit anything → offer edge
+                    static_idents.add("*any*")
+                if any(
+                    m in static_idents or "*any*" in static_idents
+                    for m in c.matches
+                ):
+                    lines.append(f'  "{prod.name}" -> "{c.name}";')
+        lines.append("}")
+        return "\n".join(lines)
+
     def unmatched(
         self, spark: SparkSession, sources: dict[str, DataFrame] | None = None
     ) -> DataFrame | None:

@@ -8,23 +8,28 @@ positions only after the sink succeeded (engine/packet.go:80-84,
 pkg/myslave/myslave.go:118-150). We keep the same "ack after durable
 write" ordering — Structured Streaming commits source offsets after
 the micro-batch sink commit — and *upgrade* delivery to exactly-once
-by making the sink idempotent on the natural key ``(conv_id,
-turn_idx)``:
+with three mechanisms, strongest first:
 
-1. **batch-id bookkeeping**: a replayed micro-batch (same epoch id
-   after checkpoint resume) is skipped outright;
-2. **key-level anti-join MERGE**: within a new batch, only keys not
-   already in the target are appended — re-deliveries of the same turn
-   (the datagen duplicate fixture) become no-ops.
+1. **per-epoch partition overwrite**: each micro-batch writes to its
+   own hive partition ``batch=<epoch id>`` with overwrite — a replayed
+   or half-written epoch is cleanly rewritten, never double-appended.
+   This alone gives exactly-once when every key is emitted in exactly
+   one epoch (true for append-mode window aggregations).
+2. **batch-id bookkeeping**: a marker per committed epoch short-cuts
+   replays entirely (and records per-epoch lineage).
+3. **key-level anti-join MERGE** (``dedup_mode="anti_join"``): for
+   upstreams that can re-emit a key in a *different* epoch (raw
+   at-least-once streams), only keys absent from all other epochs are
+   kept. The probe excludes the current epoch's partition (partition
+   pruning on the ``batch`` column), so a failed partial write never
+   blocks its own retry.
 
-On a production cluster the target is an Iceberg table and step 2 is a
-single ``MERGE INTO t USING batch ON (conv_id, turn_idx) WHEN NOT
-MATCHED THEN INSERT`` with metadata-pruned file scans
-(``merge_sql()`` emits exactly that statement). In this sandbox (no
-Iceberg runtime jar) the same semantics run over a parquet directory;
-the anti-join reads only the target's key columns (column pruning) and
-both sides hash-partition on the key, so the plan scales with the
-*key* volume, not row width.
+On a production cluster the target is an Iceberg table and the whole
+sink is a single ``MERGE INTO t USING batch ON (conv_id, turn_idx)
+WHEN NOT MATCHED THEN INSERT`` with metadata-pruned scans —
+``merge_sql()`` emits exactly that statement. The parquet form here
+preserves the semantics; the anti-join reads only the key columns
+(column pruning) and scales with key volume, not row width.
 """
 
 from __future__ import annotations
@@ -37,11 +42,27 @@ from pyspark.sql import functions as F
 
 
 class IdempotentKeyedSink:
-    """foreachBatch sink with MERGE-on-key semantics over parquet."""
+    """foreachBatch sink with MERGE-on-key semantics over parquet.
 
-    def __init__(self, path: str, keys: list[str] | None = None):
+    dedup_mode:
+      - "anti_join" (default): cross-epoch key dedup + epoch overwrite —
+        correct for any at-least-once upstream.
+      - "epoch_overwrite": epoch overwrite + markers only — correct
+        (and much cheaper: no target read) when the upstream emits each
+        key in exactly one epoch, e.g. append-mode window aggregation.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str] | None = None,
+        dedup_mode: str = "anti_join",
+    ):
+        if dedup_mode not in ("anti_join", "epoch_overwrite"):
+            raise ValueError(f"unknown dedup_mode: {dedup_mode}")
         self.path = path
         self.keys = keys or ["conv_id", "turn_idx"]
+        self.dedup_mode = dedup_mode
         self.data_path = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_batches")
         os.makedirs(self.data_path, exist_ok=True)
@@ -61,33 +82,42 @@ class IdempotentKeyedSink:
             json.dump({"batch_id": batch_id, "rows_appended": n_rows}, f)
         os.replace(tmp, self._marker(batch_id))  # atomic visibility
 
-    def _has_data(self) -> bool:
-        return any(
-            f.endswith(".parquet") for f in os.listdir(self.data_path)
-        )
+    def _epoch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.data_path, f"batch={batch_id}")
+
+    def _epoch_ids(self) -> list[int]:
+        if not os.path.isdir(self.data_path):
+            return []
+        return [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.data_path)
+            if d.startswith("batch=")
+        ]
 
     # -- the MERGE -----------------------------------------------------
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> int:
-        """Apply one micro-batch; returns rows actually appended."""
+        """Apply one micro-batch; returns rows written to its epoch."""
         if self.committed(batch_id):
-            # Replay of an already-committed epoch → logical no-op, but
-            # the batch must still be *processed*: Spark 4.x validates
-            # that foreachBatch consumes every partition (state-store
-            # commit tracking), so drain it into the noop sink.
+            # already durable: drain the batch (Spark 4.x validates that
+            # foreachBatch consumes every partition) and do nothing
             batch_df.write.format("noop").mode("overwrite").save()
             return 0
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates(self.keys)
-        if self._has_data():
-            existing_keys = spark.read.parquet(self.data_path).select(
-                *self.keys
+        others = [b for b in self._epoch_ids() if b != batch_id]
+        if self.dedup_mode == "anti_join" and others:
+            existing_keys = (
+                spark.read.parquet(self.data_path)
+                .filter(F.col("batch") != batch_id)
+                .select(*self.keys)
             )
             fresh = fresh.join(existing_keys, on=self.keys, how="left_anti")
         fresh = fresh.persist()
         n = fresh.count()
-        if n > 0:
-            fresh.write.mode("append").parquet(self.data_path)
+        # overwrite THIS epoch's partition: replays and partial writes
+        # of the same epoch converge to the same bytes
+        fresh.write.mode("overwrite").parquet(self._epoch_dir(batch_id))
         fresh.unpersist()
         self._commit_marker(batch_id, n)
         return n
@@ -96,9 +126,11 @@ class IdempotentKeyedSink:
         return lambda df, bid: self.write_batch(df, bid)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        if not self._has_data():
+        if not self._epoch_ids():
             return spark.createDataFrame([], schema="conv_id string")
-        return spark.read.parquet(self.data_path)
+        return spark.read.option("basePath", self.data_path).parquet(
+            self.data_path
+        ).drop("batch")
 
     # -- Iceberg form (production path) ---------------------------------
 

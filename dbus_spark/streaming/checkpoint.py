@@ -50,8 +50,13 @@ def list_offsets(checkpoint_dir: str) -> list[BatchOffsets]:
                 obj = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if isinstance(obj, dict) and "watermarkMs" in obj:
-                wm = int(obj["watermarkMs"])
+            if isinstance(obj, dict) and (
+                "batchWatermarkMs" in obj or "watermarkMs" in obj
+            ):
+                # the batch metadata line, not a source offset
+                wm = int(
+                    obj.get("batchWatermarkMs", obj.get("watermarkMs", 0))
+                )
             else:
                 sources.append(obj)
         out.append(

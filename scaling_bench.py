@@ -48,7 +48,8 @@ enriched = enrich_turns(src.repartition(cpus, "conv_id"))
 agg = windowed_agg(
     enriched, "1 minute",
     aggs={{"n_turns": F.count("*"), "tok_sum": F.sum("n_tokens"),
-           "n_langs": F.max("lang"), "fp_min": F.min("fp64")}},
+           "n_langs": F.max("lang"), "fp_min": F.min("fp64"),
+           "q_sum": F.sum("quality"), "stop_max": F.max("stop_ratio")}},
     keys=["conv_id"], watermark="10 minutes")
 t0 = time.time()
 q = (agg.writeStream.outputMode("append")

@@ -1,0 +1,86 @@
+"""IdempotentKeyedSink unit tests: epoch overwrite, replay, partial-
+write recovery, cross-epoch redelivery (the at-least-once fixtures)."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [("c1", 1, "a"), ("c1", 2, "b"), ("c1", 1, "a")],
+        ["conv_id", "turn_idx", "text"],
+    )
+
+
+def _sink(tmp_path, mode):
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    return IdempotentKeyedSink(
+        str(tmp_path / "out"), keys=["conv_id", "turn_idx"], dedup_mode=mode
+    )
+
+
+@pytest.mark.parametrize("mode", ["anti_join", "epoch_overwrite"])
+def test_in_batch_dup_collapses(spark, tmp_path, df, mode):
+    sink = _sink(tmp_path, mode)
+    assert sink.write_batch(df, 0) == 2
+    assert sink.read(spark).count() == 2
+
+
+def test_epoch_replay_skipped(spark, tmp_path, df):
+    sink = _sink(tmp_path, "anti_join")
+    sink.write_batch(df, 0)
+    assert sink.write_batch(df, 0) == 0  # marker short-circuit
+    assert sink.read(spark).count() == 2
+
+
+def test_partial_write_recovery(spark, tmp_path, df):
+    """Crash between parquet write and marker write: the epoch replays
+    and must converge (overwrite), not double-append."""
+    sink = _sink(tmp_path, "anti_join")
+    # simulate the failed first attempt: files exist, marker missing
+    df.dropDuplicates(["conv_id", "turn_idx"]).write.mode(
+        "overwrite"
+    ).parquet(sink._epoch_dir(0))
+    assert not sink.committed(0)
+    n = sink.write_batch(df, 0)
+    assert n == 2
+    assert sink.read(spark).count() == 2
+
+
+def test_cross_epoch_redelivery_anti_join(spark, tmp_path, df):
+    sink = _sink(tmp_path, "anti_join")
+    sink.write_batch(df, 0)
+    assert sink.write_batch(df, 1) == 0  # same keys, new epoch → no-op
+    assert sink.read(spark).count() == 2
+
+
+def test_cross_epoch_new_keys_append(spark, tmp_path, df):
+    sink = _sink(tmp_path, "anti_join")
+    sink.write_batch(df, 0)
+    more = spark.createDataFrame(
+        [("c1", 3, "c"), ("c2", 1, "d")], ["conv_id", "turn_idx", "text"]
+    )
+    assert sink.write_batch(more, 1) == 2
+    assert sink.read(spark).count() == 4
+
+
+def test_epoch_overwrite_mode_skips_target_read(spark, tmp_path, df):
+    """epoch_overwrite trusts single-emission upstreams: a key re-sent
+    in another epoch is NOT deduped (documented trade-off)."""
+    sink = _sink(tmp_path, "epoch_overwrite")
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 1)
+    assert sink.read(spark).count() == 4  # duplicated by design
+
+
+def test_merge_sql_form(tmp_path):
+    sink = _sink(tmp_path, "anti_join")
+    sql = sink.merge_sql("lake.transcripts")
+    assert sql == (
+        "MERGE INTO lake.transcripts t USING batch s ON "
+        "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
