@@ -85,15 +85,20 @@ def run_streaming(spark, n_convs: int) -> dict:
         sink = IdempotentKeyedSink(
             os.path.join(work, "out"), keys=["conv_id", "window_start"]
         )
+        from dbus_spark.functions.vectorized import enrich_turns
+
         src = transcript_file_stream(
             spark, os.path.join(work, "in"), max_files_per_trigger=1
         )
+        cpus = spark.sparkContext.defaultParallelism
+        enriched = enrich_turns(src.repartition(cpus, "conv_id"))
         agg = windowed_agg(
-            src,
+            enriched,
             "1 minute",
             aggs={
                 "n_turns": F.count("*"),
-                "tok_sum": F.sum(F.length("text")),
+                "tok_sum": F.sum("n_tokens"),
+                "q_sum": F.sum("quality"),
             },
             keys=["conv_id"],
             watermark="10 minutes",

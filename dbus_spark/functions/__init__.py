@@ -60,6 +60,29 @@ def alter_table_target(col: str | Column = "query") -> Column:
     return F.regexp_extract(c, _ALTER_RE, 2)
 
 
+def encode_rows_event_avro() -> Column:
+    """Avro encode of the wire struct (reference declares an Avro
+    schema: pkg/model/rowsevent_avro.go:9-56, its test is skipped).
+    Requires the spark-avro module jar; raises ImportError when the
+    module is not on the classpath (gated, like the reference's
+    skipped test)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("pyspark avro module unavailable") from e
+    return to_avro(
+        F.struct(
+            F.col("log"),
+            F.col("pos"),
+            F.col("db"),
+            F.col("tbl"),
+            F.col("dml"),
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("rows"),
+        )
+    )
+
+
 # --- length guard (reference: plugins/input/mysql/standalone.go:93-100)
 
 

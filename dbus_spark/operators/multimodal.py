@@ -82,6 +82,82 @@ def real_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize plumbing: same mapInPandas shape as feature extraction;
+    the codec is stubbed (no PIL in container) with a deterministic
+    byte-slice 'resize' so the batch/schema path is testable. Output
+    keeps the binary column plus updated metadata."""
+
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64 or 1
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        (c * ((target // max(len(c), 1)) + 1))[:target]
+                        for c in pdf[content_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(do, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled 'frame' (here: fixed-size byte window — the pyav decode is
+    the stub). Demonstrates the 1→N generator shape under mapInPandas,
+    which is what a real decoder needs."""
+    frame_bytes = 16
+
+    def do(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                n = max(len(c) // frame_bytes, 1)
+                for k in range(0, n, every_n):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    frames.append(
+                        bytes(c[k * frame_bytes : (k + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(do, schema=schema)
+
+
 def extract_media_features(
     df: DataFrame,
     decoder: Callable[[bytes], np.ndarray] = fake_decoder,

@@ -229,6 +229,30 @@ def _split_filter(options: dict) -> Callable:
     return fn
 
 
+def _count_filter(options: dict) -> Callable:
+    """Count rows per group (TODO.md 'count' op)."""
+    by = options.get("by", [IDENT_COL])
+
+    def fn(df: DataFrame) -> DataFrame:
+        return _restamp(
+            df.groupBy(*by).agg(F.count("*").alias("n")), options
+        )
+
+    return fn
+
+
+def _sort_filter(options: dict) -> Callable:
+    """Sort rows (TODO.md 'sort' op). NB: a global sort is a range
+    shuffle — at scale prefer sortWithinPartitions (within=True)."""
+    by = options["by"]
+    within = bool(options.get("within_partitions", False))
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.sortWithinPartitions(*by) if within else df.orderBy(*by)
+
+    return fn
+
+
 def _passthrough_filter(options: dict) -> Callable:
     """MockFilter analog: identity transform."""
     return lambda df: df
@@ -286,6 +310,8 @@ for _name, _factory in [
     ("RegexFilter", _regex_filter),
     ("RenameFilter", _rename_filter),
     ("SplitFilter", _split_filter),
+    ("CountFilter", _count_filter),
+    ("SortFilter", _sort_filter),
     ("MockFilter", _passthrough_filter),
     ("MemoryOutput", _memory_output),
     ("NoopOutput", _noop_output),

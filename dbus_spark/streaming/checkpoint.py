@@ -70,6 +70,29 @@ def list_offsets(checkpoint_dir: str) -> list[BatchOffsets]:
     return out
 
 
+def file_source_batches(
+    checkpoint_dir: str, source_idx: int = 0
+) -> list[list[str]]:
+    """Which files the file stream source actually grouped into each
+    micro-batch (the per-batch input lineage). Reads the source's
+    metadata log ``sources/<idx>/<batch>``; one entry per batch, in
+    batch order."""
+    log_dir = os.path.join(checkpoint_dir, "sources", str(source_idx))
+    entries = _read_log(log_dir)
+    out = []
+    for batch_id in sorted(entries):
+        files = []
+        for line in entries[batch_id][1:]:  # line 0 = version header
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "path" in obj:
+                files.append(obj["path"])
+        out.append(files)
+    return out
+
+
 def last_committed_batch(checkpoint_dir: str) -> int | None:
     commits = _read_log(os.path.join(checkpoint_dir, "commits"))
     return max(commits) if commits else None

@@ -27,6 +27,33 @@ import subprocess
 import sys
 import tempfile
 
+_BATCH_RUNNER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from dbus_spark.session import get_spark
+
+cpus = {cpus}; work = {work!r}; mode = {mode!r}
+spark = get_spark(f"scaleb{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+df = spark.read.parquet(os.path.join(work, "in")).repartition(cpus)
+if mode == "batch":
+    from dbus_spark.functions.vectorized import enrich_turns
+    out = enrich_turns(df).select(
+        "conv_id", "n_tokens", "fp64", "lang", "stop_ratio", "quality")
+else:  # batch_jvm: whole-stage-codegen expression path
+    from dbus_spark.operators.text import token_count, lang_id, fingerprint
+    out = (df.withColumn("n_tokens", token_count("text"))
+             .withColumn("lang", lang_id("text"))
+             .withColumn("fp", fingerprint("text"))
+             .select("conv_id", "n_tokens", "lang", "fp"))
+out.write.format("noop").mode("overwrite").save()  # warm
+t0 = time.time()
+for _ in range(3):
+    out.write.format("noop").mode("overwrite").save()
+print("WALL", time.time() - t0)
+spark.stop()
+"""
+
 _RUNNER = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
@@ -61,8 +88,11 @@ spark.stop()
 """
 
 
-def run_level(repo: str, work: str, cpus: int, tag: str) -> float:
-    code = _RUNNER.format(repo=repo, cpus=cpus, work=work, tag=tag)
+def run_level(
+    repo: str, work: str, cpus: int, tag: str, mode: str = "streaming"
+) -> float:
+    tmpl = _RUNNER if mode == "streaming" else _BATCH_RUNNER
+    code = tmpl.format(repo=repo, cpus=cpus, work=work, tag=tag, mode=mode)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True
     )
@@ -78,6 +108,14 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--convs", type=int, default=80000)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--mode",
+        choices=["streaming", "batch", "batch_jvm"],
+        default="streaming",
+        help="streaming = full pipeline incl. state + sink; batch = "
+        "the map-stage (enrichment) alone, isolating operator scaling "
+        "from micro-batch machinery",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -106,7 +144,7 @@ def main() -> None:
             tag = f"{name}_{r}"
             for d in (f"out_{tag}", f"ck_{tag}"):
                 shutil.rmtree(os.path.join(work, d), ignore_errors=True)
-            walls.append(run_level(repo, work, cpus, tag))
+            walls.append(run_level(repo, work, cpus, tag, args.mode))
         best = min(walls)
         results[name] = {
             "cores": cpus,
@@ -119,6 +157,7 @@ def main() -> None:
         results["4N"]["turns_per_sec"] / results["N"]["turns_per_sec"]
     ) / 4
     out = {
+        "mode": args.mode,
         "rows": n_rows,
         "N": results["N"],
         "4N": results["4N"],

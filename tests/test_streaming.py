@@ -73,7 +73,21 @@ def test_streaming_window_matches_micro_batch_oracle(
         .select("conv_id", "window_start", "n_turns")
         .toPandas()
     )
-    batches = [pd.read_parquet(p) for p in paths]
+    # reconstruct the oracle's micro-batch split from the checkpoint's
+    # file-source lineage (don't assume 1 file = 1 batch: the source
+    # may group files, which changes the watermark trajectory)
+    from dbus_spark.streaming.checkpoint import file_source_batches
+
+    grouped = file_source_batches(str(tmp_path / "ck"))
+    batches = [
+        pd.concat(
+            [pd.read_parquet(p.replace("file://", "")) for p in files],
+            ignore_index=True,
+        )
+        for files in grouped
+        if files
+    ]
+    assert sum(len(b) for b in batches) == len(pdf)
     exp = oracle_pd.expected_append_mode_windows(batches, 600, 60)[
         ["conv_id", "window_start", "n_turns"]
     ]
@@ -105,7 +119,16 @@ def test_kill_resume_exactly_once(spark, stream_fixture):
         .count()
     )
     assert dups == 0
-    batches = [pd.read_parquet(p) for p in paths]
+    from dbus_spark.streaming.checkpoint import file_source_batches
+
+    batches = [
+        pd.concat(
+            [pd.read_parquet(p.replace("file://", "")) for p in files],
+            ignore_index=True,
+        )
+        for files in file_source_batches(str(tmp_path / "ck"))
+        if files
+    ]
     exp = oracle_pd.expected_append_mode_windows(batches, 600, 60)
     assert out.count() == len(exp)
 
