@@ -27,6 +27,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 @dataclass
 class BatchMetric:
     batch_id: int
+    run_id: str
     timestamp: str
     input_rows: int
     input_rows_per_sec: float
@@ -56,6 +57,7 @@ class MetricsListener(StreamingQueryListener):
         state = p.get("stateOperators") or []
         metric = BatchMetric(
             batch_id=p.get("batchId", -1),
+            run_id=str(p.get("runId", "")),
             timestamp=p.get("timestamp", ""),
             input_rows=int(p.get("numInputRows", 0)),
             input_rows_per_sec=float(p.get("inputRowsPerSecond", 0.0) or 0.0),
@@ -91,9 +93,14 @@ class MetricsListener(StreamingQueryListener):
 
     # -- summaries -------------------------------------------------------
 
-    def summary(self) -> dict:
+    def summary(self, run_id: str | None = None) -> dict:
+        """Aggregate metrics; pass a query's ``runId`` to scope to one
+        query — the listener bus is global and async, so a shared
+        session delivers other queries' (and late) events too."""
         with self._lock:
             batches = list(self.batches)
+        if run_id is not None:
+            batches = [b for b in batches if b.run_id == str(run_id)]
         data = [b for b in batches if b.input_rows > 0]
         if not data:
             return {"batches": 0}

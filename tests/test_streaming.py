@@ -43,6 +43,7 @@ def _run_windowed(spark, tmp_path, sink, stop_after=None):
         .foreachBatch(sink.foreach_batch())
         .start()
     )
+    run_id = str(q.runId)
     if stop_after is None:
         q.processAllAvailable()
         q.stop()
@@ -53,6 +54,7 @@ def _run_windowed(spark, tmp_path, sink, stop_after=None):
             time.sleep(0.2)
         q.stop()
     q.awaitTermination(60)
+    return run_id
 
 
 def test_streaming_window_matches_micro_batch_oracle(
@@ -65,7 +67,7 @@ def test_streaming_window_matches_micro_batch_oracle(
     listener = MetricsListener()
     spark.streams.addListener(listener)
     try:
-        _run_windowed(spark, tmp_path, sink)
+        run_id = _run_windowed(spark, tmp_path, sink)
     finally:
         spark.streams.removeListener(listener)
     got = (
@@ -94,10 +96,19 @@ def test_streaming_window_matches_micro_batch_oracle(
     from tests.conftest import assert_pdf_equal
 
     assert_pdf_equal(got, exp, ["conv_id", "window_start"])
-    # the listener captured per-batch lineage + rates
-    s = listener.summary()
-    assert s["batches"] >= 5
+    # the listener captured per-batch lineage + rates. Delivery is
+    # async: poll (scoped to this query's runId — a shared session
+    # also delivers other queries' events).
+    import time
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        s = listener.summary(run_id)
+        if s.get("total_input_rows", 0) == len(pdf):
+            break
+        time.sleep(0.25)
     assert s["total_input_rows"] == len(pdf)
+    assert s["batches"] >= 1
     assert s["sustained_rows_per_sec"] > 0
 
 
