@@ -1,0 +1,88 @@
+"""Physical-plan hygiene: the properties that decide 100 TB behavior.
+
+These assert on .explain output, not results: filters reach the
+parquet scan (PushedFilters), projections prune columns (ReadSchema),
+small join sides broadcast, and the salted aggregation really is a
+two-shuffle plan."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_route_filter_pushdown(spark):
+    """The routing predicate must reach the scan — the reference does
+    this by hand inside the source (pkg/myslave/predicate.go); for us
+    Catalyst pushes the matcher predicate into parquet."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    routed = events.withColumn("ident", F.col("event_type")).filter(
+        F.col("ident").isin("click", "purchase")
+    )
+    plan = _plan(routed.select("event_id", "ident"))
+    assert "PushedFilters: [In(event_type" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    q = entrymod.queries()["doc_token_count"](spark, SF_DIR)
+    plan = _plan(q)
+    # only doc_id + text are read, not lang/source/n_chars
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    q = entrymod.queries()["emb_knn"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    """partial agg on (key, salt) then merge on (key): the plan must
+    contain two distinct hash aggregations with an exchange between."""
+    q = entrymod.queries()["tumbling_window_salted"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 4  # 2 logical aggs x partial/final
+    assert plan.count("Exchange") >= 2  # shuffle on (key,salt), then (key)
+    assert "xxhash64" in plan  # the deterministic salt expression
+
+
+def test_interval_join_not_cartesian(spark):
+    q = entrymod.queries()["interval_join"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_scalar_surface(spark):
+    q = entrymod.queries()["event_json"](spark, SF_DIR)
+    plan = _plan(q)
+    # formatted plans mark codegen'd operators with a leading '*'
+    assert "* Project" in plan or "WholeStageCodegen" in plan
+
+
+def test_streaming_plan_has_watermark_and_state(spark, tmp_path):
+    from dbus_spark.datagen import generate_transcripts, write_stream_batches
+    from dbus_spark.operators import windowed_agg
+    from dbus_spark.sources import transcript_file_stream
+
+    pdf = generate_transcripts(n_convs=5, seed=1)
+    write_stream_batches(pdf, str(tmp_path / "in"), n_files=1)
+    src = transcript_file_stream(spark, str(tmp_path / "in"), 1)
+    agg = windowed_agg(
+        src, "1 minute", aggs={"n": F.count("*")},
+        keys=["conv_id"], watermark="10 minutes",
+    )
+    # streaming plans surface via the logical plan string
+    s = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in s
