@@ -288,9 +288,16 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs)
 
 
+def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.simhash_candidate_pairs(docs, prefix_bits=16)
+
+
 def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+    # max_df: document-frequency cut — the synthetic vocab is tiny, so
+    # without it every shingle is hot and the pair join blows up
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=50)
 
 
 def _emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
         "doc_simhash": _doc_simhash,
+        "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
@@ -557,9 +565,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) "
             "ELSE 0 END) AS simhash FROM bits GROUP BY doc_id"
         ),
+        "doc_simhash_pairs": (
+            f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
+            "h AS (SELECT doc_id, "
+            "  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM t), "
+            "bits AS (SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 "
+            "  THEN 1 ELSE -1 END) AS vote "
+            "  FROM h CROSS JOIN range(32) r(j) GROUP BY doc_id, j), "
+            "sk AS (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) "
+            "ELSE 0 END) >> 16 AS bucket FROM bits GROUP BY doc_id) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sk a JOIN sk b ON a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id"
+        ),
         "doc_jaccard_pairs": (
             _shingles_cte()
-            + ", ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh) "
+            + ", ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"
+            ", rare AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 50)"
+            ", ex1 AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s))"
+            ", sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex1 GROUP BY doc_id)"
+            ", ex AS (SELECT ex1.doc_id, ex1.s, sz.n_sh FROM ex1 JOIN sz USING (doc_id)) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "ROUND(COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)), 4) AS jaccard "
             "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "

@@ -41,6 +41,7 @@ BATCH_QUERIES = [
     "doc_minhash",
     "doc_lsh_pairs",
     "doc_simhash",
+    "doc_simhash_pairs",
     "doc_jaccard_pairs",
     "emb_knn",
     "emb_knn_lsh",

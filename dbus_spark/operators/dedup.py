@@ -81,13 +81,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity via explode + shuffle-join —
     the distributed formulation: |docs|·|shingles| rows shuffled, never
-    the O(n²) pair matrix materialized below the threshold."""
+    the O(n²) pair matrix materialized below the threshold.
+
+    ``max_df`` drops shingles occurring in more than that many docs
+    before pairing — the classic document-frequency cut: a shingle
+    shared by thousands of documents is non-discriminative but costs
+    count² join rows (the hot-key blowup). With it set, similarity is
+    Jaccard over the *rare-shingle* sets of each doc (set sizes are
+    recomputed after the cut, so the measure stays a true Jaccard)."""
     sh = df.select(
         F.col(id_col), word_shingles(text_col, n).alias("sh")
-    ).select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    ).select(id_col, F.explode("sh").alias("s"))
+    # materialize the exploded shingles once: the df-cut aggregate, the
+    # size aggregate and BOTH sides of the self-join would otherwise
+    # re-run the (expensive) shingling subtree 4x — the DataFrame
+    # analog of the reference's refcount sharing (engine/packet.go)
+    sh = sh.persist()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, on="s", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh = sh.join(sizes, on=id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -106,6 +129,31 @@ def ngram_jaccard_pairs(
         pairs.select(
             "id_a", "id_b", F.round(jac, 4).alias("jaccard")
         ).filter(F.col("jaccard") > threshold)
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs whose sketches share the top
+    ``prefix_bits`` bits land in one bucket and pair up — the cheap
+    hamming-prefix filter (full hamming-distance verify happens on the
+    tiny candidate set downstream). Bucket-join shuffle only."""
+    sk = simhash(df, id_col, text_col).withColumn(
+        "bucket", F.shiftright("simhash", 32 - prefix_bits)
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
 
 
