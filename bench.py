@@ -130,6 +130,46 @@ def run_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_ordered_streaming(spark, n_convs: int) -> dict:
+    """The flagship invariant operator end-to-end: per-conversation
+    ordering/dedup state (applyInPandasWithState) over the replayed
+    stream, into the exactly-once sink."""
+    from dbus_spark.datagen import generate_transcripts, write_stream_batches
+    from dbus_spark.operators import ordered_turns_stream
+    from dbus_spark.sinks import IdempotentKeyedSink
+    from dbus_spark.sources import transcript_file_stream
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_ord_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        write_stream_batches(pdf, os.path.join(work, "in"), n_files=8)
+        sink = IdempotentKeyedSink(
+            os.path.join(work, "out"), keys=["conv_id", "turn_idx"]
+        )
+        src = transcript_file_stream(
+            spark, os.path.join(work, "in"), max_files_per_trigger=1
+        )
+        ordered = ordered_turns_stream(src, watermark="10 minutes")
+        t0 = time.time()
+        q = (
+            ordered.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        return {
+            "sec": round(wall, 3),
+            "rows": len(pdf),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _session(cpus: int):
     from dbus_spark.session import get_spark
 
@@ -151,6 +191,8 @@ def main() -> None:
     queries = run_batch(spark, sf_dir)
     stream = run_streaming(spark, STREAM_TURNS_CONVS)
     queries["streaming_pipeline"] = stream["sec"]
+    ordered = run_ordered_streaming(spark, max(STREAM_TURNS_CONVS // 4, 200))
+    queries["streaming_ordered"] = ordered["sec"]
 
     result = {
         "metric": "end-to-end bench seconds (batch operator suite + "
@@ -160,6 +202,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": stream,
+        "streaming_ordered": ordered,
         "cpus": cpus,
     }
 

@@ -9,7 +9,9 @@ order, regardless of arrival order or redelivery.
 
 Batch path: window-function dedup (pure Catalyst, no Python).
 Streaming path: ``applyInPandasWithState`` keyed on ``conv_id`` with
-event-time timeout. State per key is O(pending) — the contiguous
+event-time timeout. The state machine body is vectorized pandas/numpy
+(mask + sort + contiguous-prefix detection) — no per-row Python loop,
+per the input_hint mandate. State per key is O(pending): the contiguous
 emission frontier plus only the out-of-order buffer, never the turn
 history (SURVEY.md §7.4 risk 2), so state stays bounded by the
 out-of-order horizon even on 10^12-turn inputs.
@@ -17,9 +19,10 @@ out-of-order horizon even on 10^12-turn inputs.
 
 from __future__ import annotations
 
-import json
+import io
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -31,6 +34,7 @@ OUT_SCHEMA = (
     "tool string, ts timestamp"
 )
 _STATE_SCHEMA = "next_idx int, pending string"
+_COLS = ["turn_idx", "role", "text", "tool", "ts"]
 
 
 def restore_order_batch(
@@ -64,77 +68,87 @@ def dedup_within_watermark(
     )
 
 
-def _emit_ready(
-    next_idx: int, pending: dict[str, list], flush_all: bool
-) -> tuple[int, list[list]]:
-    """Pop the contiguous run starting at next_idx (or everything in
-    idx order when flushing on timeout — late gaps are abandoned, the
-    watermark says those turns are not coming)."""
-    out: list[list] = []
-    if flush_all:
-        for k in sorted(pending, key=int):
-            out.append(pending.pop(k))
-        if out:
-            next_idx = int(out[-1][0]) + 1
-        return next_idx, out
-    while str(next_idx) in pending:
-        out.append(pending.pop(str(next_idx)))
-        next_idx += 1
-    return next_idx, out
+# --- vectorized pending-buffer (de)serialization ----------------------
+
+
+def _ser(pending: pd.DataFrame) -> str:
+    """Pending buffer → JSON string for the state store. Timestamps go
+    as int64 micros (exact round trip)."""
+    if pending.empty:
+        return ""
+    out = pending[_COLS].copy()
+    out["ts"] = out["ts"].astype("datetime64[us]").astype("int64")
+    return out.to_json(orient="split", index=False)
+
+
+def _deser(blob: str) -> pd.DataFrame:
+    if not blob:
+        return pd.DataFrame(columns=_COLS)
+    pdf = pd.read_json(io.StringIO(blob), orient="split")
+    pdf.columns = _COLS
+    pdf["ts"] = pdf["ts"].astype("int64").astype("datetime64[us]")
+    return pdf
+
+
+def _advance(
+    next_idx: int, pending: pd.DataFrame, new: pd.DataFrame | None
+) -> tuple[int, pd.DataFrame, pd.DataFrame]:
+    """Core state transition, fully vectorized: merge the buffer with
+    new rows, drop duplicates/already-emitted turns, emit the
+    contiguous run starting at next_idx. Returns (next_idx', emit,
+    pending')."""
+    frames = [pending] if not pending.empty else []
+    if new is not None and len(new):
+        frames.append(new[_COLS])
+    if not frames:
+        return next_idx, pending.iloc[0:0], pending
+    allp = pd.concat(frames, ignore_index=True)
+    allp = allp[allp["turn_idx"] >= next_idx]
+    allp = allp.drop_duplicates("turn_idx").sort_values("turn_idx")
+    idxs = allp["turn_idx"].to_numpy()
+    contiguous = idxs == (next_idx + np.arange(len(idxs)))
+    k = int(contiguous.argmin()) if not contiguous.all() else len(idxs)
+    emit = allp.iloc[:k]
+    rest = allp.iloc[k:]
+    new_next = int(idxs[k - 1]) + 1 if k > 0 else next_idx
+    return new_next, emit, rest
 
 
 def _make_state_fn(timeout_ms: int):
-    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterable[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
-            next_idx, pending_json = state.get
-            pending = json.loads(pending_json)
-            next_idx, rows = _emit_ready(next_idx, pending, flush_all=True)
+            # the watermark passed this key's horizon: late gaps are
+            # not coming — flush the buffer in index order
+            next_idx, blob = state.get
+            pending = _deser(blob).sort_values("turn_idx")
             state.remove()
-            if rows:
-                yield _rows_to_pdf(conv_id, rows)
+            if len(pending):
+                yield pending.assign(conv_id=conv_id)[
+                    ["conv_id", *_COLS]
+                ]
             return
 
         if state.exists:
-            next_idx, pending_json = state.get
-            pending = json.loads(pending_json)
+            next_idx, blob = state.get
+            pending = _deser(blob)
         else:
-            next_idx, pending = 0, {}
+            next_idx, pending = 0, pd.DataFrame(columns=_COLS)
 
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                idx = int(r.turn_idx)
-                k = str(idx)
-                if idx < next_idx or k in pending:
-                    continue  # duplicate redelivery — drop
-                pending[k] = [
-                    idx,
-                    r.role,
-                    r.text,
-                    None if pd.isna(r.tool) else r.tool,
-                    pd.Timestamp(r.ts).isoformat(),
-                ]
-        next_idx, rows = _emit_ready(next_idx, pending, flush_all=False)
-        state.update((next_idx, json.dumps(pending)))
+        chunks = [p for p in pdfs if len(p)]
+        new = (
+            pd.concat(chunks, ignore_index=True) if chunks else None
+        )
+        next_idx, emit, pending = _advance(next_idx, pending, new)
+        state.update((next_idx, _ser(pending)))
         # evict the key when the event-time watermark passes its horizon
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
-        if rows:
-            yield _rows_to_pdf(conv_id, rows)
+        if len(emit):
+            yield emit.assign(conv_id=conv_id)[["conv_id", *_COLS]]
 
     return fn
-
-
-def _rows_to_pdf(conv_id: str, rows: list[list]) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "conv_id": conv_id,
-            "turn_idx": [int(r[0]) for r in rows],
-            "role": [r[1] for r in rows],
-            "text": [r[2] for r in rows],
-            "tool": [r[3] for r in rows],
-            "ts": [pd.Timestamp(r[4]) for r in rows],
-        }
-    )
 
 
 def ordered_turns_stream(
