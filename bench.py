@@ -84,7 +84,12 @@ def run_streaming(spark, n_convs: int) -> dict:
         listener = MetricsListener()
         spark.streams.addListener(listener)
         sink = IdempotentKeyedSink(
-            os.path.join(work, "out"), keys=["conv_id", "window_start"]
+            os.path.join(work, "out"),
+            keys=["conv_id", "window_start"],
+            # append-mode window agg emits each key exactly once ->
+            # epoch overwrite alone is exactly-once; skip the
+            # cross-epoch anti-join target read
+            dedup_mode="epoch_overwrite",
         )
         from dbus_spark.functions.vectorized import enrich_turns
 

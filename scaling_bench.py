@@ -68,7 +68,8 @@ cpus = {cpus}; work = {work!r}; tag = {tag!r}
 spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 sink = IdempotentKeyedSink(os.path.join(work, f"out_{{tag}}"),
-                           keys=["conv_id", "window_start"])
+                           keys=["conv_id", "window_start"],
+                           dedup_mode="epoch_overwrite")
 src = transcript_file_stream(spark, os.path.join(work, "in"),
                              max_files_per_trigger=16)
 enriched = enrich_turns(src.repartition(cpus, "conv_id"))
