@@ -315,12 +315,23 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN — deterministic given the seed, but the numpy
-    # hyperplanes are not SQL-reproducible → rows-only check
+    # approximate ANN — deterministic given the seed; the seeded numpy
+    # hyperplanes are shared into the oracle SQL as literals (the same
+    # scheme as minhash_coeffs), so the check is value-exact
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
     return S.knn_lsh(emb, query_ids=[0, 1, 2, 3, 4], dim=64, k=3)
+
+
+def _emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path for embedding near-dup: multi-table SRP bucket
+    # join + exact-cosine verify — no CartesianProduct in the plan
+    # (asserted in tests/test_plans.py)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.neardup_pairs_lsh(emb, threshold=0.4, dim=64)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
+        "emb_neardup_lsh": _emb_neardup_lsh,
         "emb_knn_lsh": _emb_knn_lsh,
         "multimodal_features": _multimodal_features,
     }
@@ -412,6 +424,72 @@ def _minhash_sig_cte() -> str:
     ), sig AS (
         SELECT doc_id, [{mins}] AS sg FROM hsh
     )"""
+    )
+
+
+def _srp_bucket_sql(
+    plane_rows: list[list[float]], shift: int = 0, vec: str = "embedding"
+) -> str:
+    """SRP bucket expression over literal hyperplanes — bit i is the
+    sign of <vec, plane_i>, exactly as similarity.lsh_bucket computes
+    it (both engines evaluate the dot product as a sequential
+    left-to-right double fold, so the signs agree bit-for-bit)."""
+    return "(" + " + ".join(
+        "(CASE WHEN list_dot_product({v}::DOUBLE[], [{p}]::DOUBLE[]) > 0 "
+        "THEN {w} ELSE 0 END)".format(
+            v=vec,
+            p=", ".join(repr(float(x)) for x in plane),
+            w=1 << (shift + i),
+        )
+        for i, plane in enumerate(plane_rows)
+    ) + ")"
+
+
+def _knn_lsh_oracle() -> str:
+    from dbus_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64, seed=7)
+    b = _srp_bucket_sql(planes)
+    return (
+        f"WITH bk AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings), "
+        "q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM bk "
+        "  WHERE vec_id IN (0,1,2,3,4)), "
+        "scored AS (SELECT q.q_id, e.vec_id AS n_id, "
+        "  list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS s "
+        "  FROM q JOIN bk e USING (bucket) WHERE e.vec_id <> q.q_id), "
+        "r AS (SELECT q_id, n_id, s, ROW_NUMBER() OVER "
+        "  (PARTITION BY q_id ORDER BY s DESC, n_id ASC) AS rank FROM scored) "
+        "SELECT q_id, n_id, rank, ROUND(s, 4) AS sim FROM r WHERE rank <= 3"
+    )
+
+
+def _neardup_lsh_oracle(
+    threshold: float = 0.4, n_tables: int = 8, planes_per_table: int = 4
+) -> str:
+    from dbus_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_tables * planes_per_table, 64, seed=7)
+    tables = " UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, {b} AS bucket FROM embeddings".format(
+            t=t,
+            b=_srp_bucket_sql(
+                planes[t * planes_per_table : (t + 1) * planes_per_table]
+            ),
+        )
+        for t in range(n_tables)
+    )
+    return (
+        f"WITH tb AS ({tables}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "  AND a.vec_id < b.vec_id) "
+        "SELECT c.id_a, c.id_b, "
+        "ROUND(list_cosine_similarity(x.embedding::DOUBLE[], "
+        "y.embedding::DOUBLE[]), 4) AS sim "
+        "FROM cand c JOIN embeddings x ON x.vec_id = c.id_a "
+        "JOIN embeddings y ON y.vec_id = c.id_b "
+        "WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], "
+        f"y.embedding::DOUBLE[]), 4) > {threshold}"
     )
 
 
@@ -563,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 1 ELSE -1 END) AS vote "
             "  FROM h CROSS JOIN range(32) r(j) GROUP BY doc_id, j) "
             "SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) "
-            "ELSE 0 END) AS simhash FROM bits GROUP BY doc_id"
+            "ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id"
         ),
         "doc_simhash_pairs": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
@@ -609,5 +687,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]), 4) > 0.4"
         ),
-        # emb_knn_lsh, multimodal_features: rows-only (see queries())
+        "emb_knn_lsh": _knn_lsh_oracle(),
+        "emb_neardup_lsh": _neardup_lsh_oracle(),
+        # multimodal_features: rows-only (codecs stubbed, see queries())
     }

@@ -130,6 +130,96 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def lsh_bucket_tables(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP bucketing: ``n_tables`` independent hash tables
+    of ``planes_per_table`` hyperplanes each. A pair of vectors is a
+    candidate if they collide in ANY table — the OR-construction that
+    trades a little extra shuffle (|docs|·n_tables rows, ids only) for
+    much higher recall than a single 2^k-bucket table.
+
+    Output: one (id, tbl, bucket) row per vector per table — the
+    exploded candidate-key stream, vectors NOT carried (the shuffle
+    payload stays two ints + the id)."""
+    planes = _hyperplanes(n_tables * planes_per_table, dim, seed)
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(planes_per_table):
+            p = planes[t * planes_per_table + i]
+            plane_col = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.when(
+                dot(F.col(vec_col), plane_col) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        entries.append(
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"), bucket.alias("bucket")
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via multi-table SRP-LSH — the 100 TB shape:
+
+    1. candidate generation: bucket-join on (table, bucket) over an
+       ids-only exploded stream (shuffle = |docs|·n_tables tiny rows;
+       per-bucket pair blowup bounded by 2^planes_per_table fan-in, the
+       same hot-key geometry as the MinHash band join) — never O(n²);
+    2. ``distinct`` collapses pairs colliding in several tables before
+       any vector is touched;
+    3. exact-cosine verify: the small candidate set joins back to the
+       vectors (two hash joins on id) and is filtered on the threshold.
+
+    Same output contract as ``neardup_pairs`` restricted to candidate
+    pairs; recall is the standard LSH OR-construction bound
+    (1 - (1 - (1-θ/π)^m)^T for angle θ), NOT 1.0 — near-dups at
+    cos ≥ .95 are found with P > .9999 at the defaults, low-similarity
+    pairs may be missed by design. The DuckDB oracle mirrors the exact
+    same construction (literal hyperplanes), so the value check is
+    exact over the implemented semantics."""
+    tb = lsh_bucket_tables(
+        df, dim, n_tables, planes_per_table, seed, id_col, vec_col
+    )
+    a, b = tb.alias("a"), tb.alias("b")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_ids: list[int],

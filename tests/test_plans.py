@@ -58,6 +58,33 @@ def test_salted_agg_is_two_phase(spark):
     assert "xxhash64" in plan  # the deterministic salt expression
 
 
+def test_neardup_lsh_not_cartesian(spark):
+    """The LSH near-dup path must be a bucket join + verify joins —
+    no all-pairs CartesianProduct anywhere in the plan (the scale gap
+    flagged on neardup_pairs in round 1)."""
+    q = entrymod.queries()["emb_neardup_lsh"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_lsh_recall_vs_bruteforce(spark):
+    """Measured recall of the LSH path against the exact pair set at
+    the test scale — documents the approximation honestly (the oracle
+    checks value-exactness of the implemented semantics; this checks
+    how much of the brute-force answer the defaults recover)."""
+    exact = set(
+        (r.id_a, r.id_b)
+        for r in entrymod.queries()["emb_neardup"](spark, SF_DIR).collect()
+    )
+    approx = set(
+        (r.id_a, r.id_b)
+        for r in entrymod.queries()["emb_neardup_lsh"](spark, SF_DIR).collect()
+    )
+    assert approx <= exact  # no false positives: candidates are verified
+    assert len(approx) >= 0.5 * len(exact)  # recall floor at θ≈66°
+
+
 def test_interval_join_not_cartesian(spark):
     q = entrymod.queries()["interval_join"](spark, SF_DIR)
     plan = _plan(q)
