@@ -340,7 +340,14 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbus_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # size the partitioning to the data, not the core count: each
+    # partition spins a python worker for the decode UDF, so 32 workers
+    # for 500 rows is pure startup overhead (parquet metadata count is
+    # a cheap footer read; at real scale the scan already has enough
+    # splits and this clamps to defaultParallelism)
+    n = docs.count()
+    parts = max(1, min((n + 249) // 250, spark.sparkContext.defaultParallelism))
+    docs = docs.repartition(parts)
     media = MM.attach_fake_media(docs)
     feats = MM.extract_media_features(media)
     return feats.select(

@@ -88,8 +88,11 @@ def run_streaming(spark, n_convs: int) -> dict:
             keys=["conv_id", "window_start"],
             # append-mode window agg emits each key exactly once ->
             # epoch overwrite alone is exactly-once; skip the
-            # cross-epoch anti-join target read
+            # cross-epoch anti-join target read. Counts off: the
+            # per-batch count() job is pure metrics cost on the hot
+            # path (the RouterTrack lesson).
             dedup_mode="epoch_overwrite",
+            track_counts=False,
         )
         from dbus_spark.functions.vectorized import enrich_turns
 
@@ -148,8 +151,14 @@ def run_ordered_streaming(spark, n_convs: int) -> dict:
     try:
         pdf = generate_transcripts(n_convs=n_convs, seed=42)
         write_stream_batches(pdf, os.path.join(work, "in"), n_files=8)
+        # the ordering operator itself guarantees each (conv_id,
+        # turn_idx) is emitted in exactly one epoch, so epoch overwrite
+        # alone is exactly-once — no cross-epoch anti-join read needed
         sink = IdempotentKeyedSink(
-            os.path.join(work, "out"), keys=["conv_id", "turn_idx"]
+            os.path.join(work, "out"),
+            keys=["conv_id", "turn_idx"],
+            dedup_mode="epoch_overwrite",
+            track_counts=False,
         )
         src = transcript_file_stream(
             spark, os.path.join(work, "in"), max_files_per_trigger=1
@@ -196,7 +205,11 @@ def main() -> None:
     queries = run_batch(spark, sf_dir)
     stream = run_streaming(spark, STREAM_TURNS_CONVS)
     queries["streaming_pipeline"] = stream["sec"]
-    ordered = run_ordered_streaming(spark, max(STREAM_TURNS_CONVS // 4, 200))
+    # round 1 ran this at n_convs/4 because the per-conv-keyed state
+    # machine couldn't keep up; the bucketed rewrite handles the full
+    # fixture (same 8-file / 1-file-per-trigger replay as the window
+    # pipeline, so the two streaming numbers are directly comparable)
+    ordered = run_ordered_streaming(spark, STREAM_TURNS_CONVS)
     queries["streaming_ordered"] = ordered["sec"]
 
     result = {

@@ -8,18 +8,35 @@ consumers see each conversation's turns exactly once, in ``turn_idx``
 order, regardless of arrival order or redelivery.
 
 Batch path: window-function dedup (pure Catalyst, no Python).
-Streaming path: ``applyInPandasWithState`` keyed on ``conv_id`` with
-event-time timeout. The state machine body is vectorized pandas/numpy
-(mask + sort + contiguous-prefix detection) — no per-row Python loop,
-per the input_hint mandate. State per key is O(pending): the contiguous
-emission frontier plus only the out-of-order buffer, never the turn
-history (SURVEY.md §7.4 risk 2), so state stays bounded by the
-out-of-order horizon even on 10^12-turn inputs.
+
+Streaming path: ``applyInPandasWithState`` keyed on a **hash bucket of
+conv_id**, not conv_id itself (key coarsening). Rationale, measured in
+round 1: with per-conv keys the cost is dominated by per-key machinery
+— one Arrow frame, one state get/update and one Python call per
+conversation per micro-batch (~1.5 ms each) — while the actual
+ordering work is microseconds. Coarsening to N_BUCKETS keys amortizes
+that fixed cost over every conversation in the bucket, and the state
+transition is computed for ALL conversations of a bucket in one
+vectorized pandas/numpy pass (sort + groupby-cumcount + cummin — no
+per-row or per-conversation Python loop, per the input_hint mandate).
+
+State per bucket is O(active conversations in bucket): per-conv
+``next_idx`` (the contiguous emission frontier) + per-conv flush
+deadline + only the out-of-order pending rows — never the turn history
+(SURVEY.md §7.4 risk 2). Conversations are swept from the bucket when
+the event-time watermark passes their deadline, exactly the per-key
+EventTimeTimeout semantics of the per-conv formulation: the bucket's
+Spark timeout is the min over its conversations' deadlines, and a
+conversation receiving data in a batch has its deadline superseded
+before the sweep (data supersedes timeout, as in Spark itself). At
+10^12-turn scale the state volume is identical to per-conv keying;
+only the key count (and with it the per-key overhead and state-store
+row count) shrinks.
 """
 
 from __future__ import annotations
 
-import io
+import pickle
 from typing import Iterable
 
 import numpy as np
@@ -33,8 +50,9 @@ OUT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
-_STATE_SCHEMA = "next_idx int, pending string"
+_STATE_SCHEMA = "state binary"
 _COLS = ["turn_idx", "role", "text", "tool", "ts"]
+_ALL = ["conv_id", *_COLS]
 
 
 def restore_order_batch(
@@ -68,85 +86,161 @@ def dedup_within_watermark(
     )
 
 
-# --- vectorized pending-buffer (de)serialization ----------------------
+# --- bucket state (de)serialization ------------------------------------
+#
+# One binary state cell per bucket: pickle of (meta, pending) where
+# meta is a DataFrame indexed by conv_id with int64 columns
+# (next_idx, deadline) and pending is a DataFrame[conv_id, *_COLS] of
+# out-of-order rows. pickle-5 of columnar frames is ~20x cheaper than
+# the per-conv JSON round-trip it replaces.
 
 
-def _ser(pending: pd.DataFrame) -> str:
-    """Pending buffer → JSON string for the state store. Timestamps go
-    as int64 micros (exact round trip)."""
-    if pending.empty:
-        return ""
-    out = pending[_COLS].copy()
-    out["ts"] = out["ts"].astype("datetime64[us]").astype("int64")
-    return out.to_json(orient="split", index=False)
+def _empty_meta() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"next_idx": np.array([], "int64"), "deadline": np.array([], "int64")},
+        index=pd.Index([], dtype=object),
+    )
 
 
-def _deser(blob: str) -> pd.DataFrame:
-    if not blob:
-        return pd.DataFrame(columns=_COLS)
-    pdf = pd.read_json(io.StringIO(blob), orient="split")
-    pdf.columns = _COLS
-    pdf["ts"] = pdf["ts"].astype("int64").astype("datetime64[us]")
-    return pdf
+def _empty_pending() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype="int64"),
+            "role": pd.Series([], dtype=object),
+            "text": pd.Series([], dtype=object),
+            "tool": pd.Series([], dtype=object),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
 
 
-def _advance(
-    next_idx: int, pending: pd.DataFrame, new: pd.DataFrame | None
-) -> tuple[int, pd.DataFrame, pd.DataFrame]:
-    """Core state transition, fully vectorized: merge the buffer with
-    new rows, drop duplicates/already-emitted turns, emit the
-    contiguous run starting at next_idx. Returns (next_idx', emit,
-    pending')."""
-    frames = [pending] if not pending.empty else []
-    if new is not None and len(new):
-        frames.append(new[_COLS])
-    if not frames:
-        return next_idx, pending.iloc[0:0], pending
-    allp = pd.concat(frames, ignore_index=True)
-    allp = allp[allp["turn_idx"] >= next_idx]
-    allp = allp.drop_duplicates("turn_idx").sort_values("turn_idx")
-    idxs = allp["turn_idx"].to_numpy()
-    contiguous = idxs == (next_idx + np.arange(len(idxs)))
-    k = int(contiguous.argmin()) if not contiguous.all() else len(idxs)
-    emit = allp.iloc[:k]
-    rest = allp.iloc[k:]
-    new_next = int(idxs[k - 1]) + 1 if k > 0 else next_idx
-    return new_next, emit, rest
+def _load(state) -> tuple[pd.DataFrame, pd.DataFrame]:
+    (blob,) = state.get
+    return pickle.loads(bytes(blob))
 
 
-def _make_state_fn(timeout_ms: int):
+def _save(state, meta: pd.DataFrame, pending: pd.DataFrame) -> None:
+    state.update((pickle.dumps((meta, pending), protocol=5),))
+
+
+def _advance_bucket(
+    meta: pd.DataFrame,
+    pending: pd.DataFrame,
+    new: pd.DataFrame,
+    new_deadline: int,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """One vectorized state transition for every conversation that
+    received data: merge its pending buffer with the new rows, drop
+    duplicates and already-emitted turns, emit each conversation's
+    contiguous run starting at its frontier. Returns
+    (emit, meta', pending')."""
+    touched = pd.unique(new["conv_id"])
+    on_pending = pending["conv_id"].isin(touched).to_numpy()
+    allp = pd.concat(
+        [pending[on_pending], new], ignore_index=True, copy=False
+    )
+    allp = allp.sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    ).drop_duplicates(["conv_id", "turn_idx"])
+
+    ni = meta["next_idx"].reindex(touched, fill_value=0)
+    row_ni = ni.to_numpy()[
+        pd.Index(touched).get_indexer(allp["conv_id"])
+    ]
+    keep = allp["turn_idx"].to_numpy() >= row_ni
+    allp, row_ni = allp[keep], row_ni[keep]
+
+    # contiguous-prefix emission, all conversations at once:
+    # ok_i = (turn_idx == frontier + position-within-conv); a prefix
+    # emits while the running cummin of ok stays 1
+    pos = allp.groupby("conv_id", sort=False).cumcount().to_numpy()
+    ok = allp["turn_idx"].to_numpy() == row_ni + pos
+    emit_mask = (
+        pd.Series(ok.astype("int8"), index=allp.index)
+        .groupby(allp["conv_id"].to_numpy(), sort=False)
+        .cummin()
+        .to_numpy()
+        .astype(bool)
+    )
+    emit = allp[emit_mask]
+    rest = allp[~emit_mask]
+
+    emitted = (
+        emit.groupby("conv_id", sort=False).size().reindex(touched, fill_value=0)
+    )
+    meta = meta.reindex(meta.index.union(touched, sort=False))
+    meta.loc[touched, "next_idx"] = (ni + emitted).astype("int64")
+    meta.loc[touched, "deadline"] = np.int64(new_deadline)
+    pending = pd.concat(
+        [pending[~on_pending], rest], ignore_index=True, copy=False
+    )
+    return emit, meta, pending
+
+
+def _flush_expired(
+    meta: pd.DataFrame, pending: pd.DataFrame, wm_ms: int
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Sweep conversations whose flush deadline the watermark passed:
+    their late gaps are not coming — emit any buffered suffix in index
+    order and forget the conversation (state removal, as the per-conv
+    EventTimeTimeout formulation would)."""
+    expired = meta.index[meta["deadline"].to_numpy() <= wm_ms]
+    if len(expired) == 0:
+        return pending.iloc[0:0], meta, pending
+    on_expired = pending["conv_id"].isin(expired).to_numpy()
+    emit = pending[on_expired].sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    )
+    return emit, meta.drop(index=expired), pending[~on_expired]
+
+
+def _make_bucket_fn(timeout_ms: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state
     ) -> Iterable[pd.DataFrame]:
-        (conv_id,) = key
+        wm = state.getCurrentWatermarkMs()
+
         if state.hasTimedOut:
-            # the watermark passed this key's horizon: late gaps are
-            # not coming — flush the buffer in index order
-            next_idx, blob = state.get
-            pending = _deser(blob).sort_values("turn_idx")
-            state.remove()
-            if len(pending):
-                yield pending.assign(conv_id=conv_id)[
-                    ["conv_id", *_COLS]
-                ]
+            meta, pending = _load(state)
+            emit, meta, pending = _flush_expired(meta, pending, wm)
+            if len(meta):
+                _save(state, meta, pending)
+                state.setTimeoutTimestamp(
+                    max(int(meta["deadline"].min()), wm + 1)
+                )
+            else:
+                state.remove()
+            if len(emit):
+                yield emit[_ALL]
             return
 
-        if state.exists:
-            next_idx, blob = state.get
-            pending = _deser(blob)
-        else:
-            next_idx, pending = 0, pd.DataFrame(columns=_COLS)
-
-        chunks = [p for p in pdfs if len(p)]
-        new = (
-            pd.concat(chunks, ignore_index=True) if chunks else None
+        meta, pending = (
+            _load(state) if state.exists else (_empty_meta(), _empty_pending())
         )
-        next_idx, emit, pending = _advance(next_idx, pending, new)
-        state.update((next_idx, _ser(pending)))
-        # evict the key when the event-time watermark passes its horizon
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
-        if len(emit):
-            yield emit.assign(conv_id=conv_id)[["conv_id", *_COLS]]
+        chunks = [p[_ALL] for p in pdfs if len(p)]
+        emits = []
+        if chunks:
+            new = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True, copy=False)
+            )
+            emit, meta, pending = _advance_bucket(
+                meta, pending, new, wm + timeout_ms
+            )
+            if len(emit):
+                emits.append(emit)
+        flushed, meta, pending = _flush_expired(meta, pending, wm)
+        if len(flushed):
+            emits.append(flushed)
+        if len(meta):
+            _save(state, meta, pending)
+            state.setTimeoutTimestamp(max(int(meta["deadline"].min()), wm + 1))
+        else:
+            state.remove()
+        for e in emits:
+            yield e[_ALL]
 
     return fn
 
@@ -155,20 +249,31 @@ def ordered_turns_stream(
     df: DataFrame,
     watermark: str = "10 minutes",
     flush_after_ms: int = 60_000,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Streaming ordered+deduped turn stream (per-turn text equality).
 
     Emits each conversation's turns in contiguous ``turn_idx`` order as
-    they become complete; on event-time timeout (watermark + grace) any
+    they become complete; once the event-time watermark passes a
+    conversation's flush deadline (last activity + grace) any
     still-buffered out-of-order suffix is flushed in index order.
+
+    ``n_buckets`` is the key-coarsening factor (see module docstring);
+    it must stay constant across restarts of one checkpoint, like any
+    stateful operator's grouping. Output rows are identical for any
+    value; only scheduling granularity changes.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    bucketed = df.withColumn(
+        "_bkt",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
     return (
-        df.withWatermark("ts", watermark)
-        .groupBy("conv_id")
+        bucketed.withWatermark("ts", watermark)
+        .groupBy("_bkt")
         .applyInPandasWithState(
-            _make_state_fn(flush_after_ms),
+            _make_bucket_fn(flush_after_ms),
             outputStructType=OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -290,7 +290,10 @@ def _idempotent_output(options: dict) -> Callable:
         from dbus_spark.sinks import IdempotentKeyedSink
 
         sink = IdempotentKeyedSink(
-            options["path"], keys=options.get("keys", ["conv_id", "turn_idx"])
+            options["path"],
+            keys=options.get("keys", ["conv_id", "turn_idx"]),
+            dedup_mode=options.get("dedup_mode", "anti_join"),
+            track_counts=bool(options.get("track_counts", True)),
         )
         return sink.write_batch(df, int(options.get("batch_id", 0)))
 

@@ -57,12 +57,18 @@ class IdempotentKeyedSink:
         path: str,
         keys: list[str] | None = None,
         dedup_mode: str = "anti_join",
+        track_counts: bool = True,
     ):
         if dedup_mode not in ("anti_join", "epoch_overwrite"):
             raise ValueError(f"unknown dedup_mode: {dedup_mode}")
         self.path = path
         self.keys = keys or ["conv_id", "turn_idx"]
         self.dedup_mode = dedup_mode
+        # per-epoch row counts in the markers cost one extra job per
+        # micro-batch (persist + count); turn off on latency-sensitive
+        # paths — exactly the reference's RouterTrack lesson (metrics
+        # on the hot path cost 2.1M->1.6M pkt/s, engine/router.go:111)
+        self.track_counts = track_counts
         self.data_path = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_batches")
         os.makedirs(self.data_path, exist_ok=True)
@@ -76,7 +82,7 @@ class IdempotentKeyedSink:
     def committed(self, batch_id: int) -> bool:
         return os.path.exists(self._marker(batch_id))
 
-    def _commit_marker(self, batch_id: int, n_rows: int) -> None:
+    def _commit_marker(self, batch_id: int, n_rows: int | None) -> None:
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows_appended": n_rows}, f)
@@ -113,21 +119,30 @@ class IdempotentKeyedSink:
                 .select(*self.keys)
             )
             fresh = fresh.join(existing_keys, on=self.keys, how="left_anti")
-        fresh = fresh.persist()
-        n = fresh.count()
+        if self.track_counts:
+            fresh = fresh.persist()
+            n = fresh.count()
+        else:
+            n = None
         # overwrite THIS epoch's partition: replays and partial writes
         # of the same epoch converge to the same bytes
         fresh.write.mode("overwrite").parquet(self._epoch_dir(batch_id))
-        fresh.unpersist()
+        if self.track_counts:
+            fresh.unpersist()
         self._commit_marker(batch_id, n)
-        return n
+        return n if n is not None else 0
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not self._epoch_ids():
-            return spark.createDataFrame([], schema="conv_id string")
+            # value types are unknowable before the first write; expose
+            # the configured key columns so downstream joins/selects on
+            # keys still resolve against an empty sink
+            return spark.createDataFrame(
+                [], schema=", ".join(f"{k} string" for k in self.keys)
+            )
         return spark.read.option("basePath", self.data_path).parquet(
             self.data_path
         ).drop("batch")
