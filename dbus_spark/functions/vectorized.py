@@ -39,15 +39,21 @@ def fingerprint64_v(s: pd.Series) -> pd.Series:
     return pd.util.hash_pandas_object(norm, index=False).astype("int64")
 
 
+# whitespace-delimited whole-token match: identical tokenization to
+# operators.text.tokens (split on \s+), unlike \b word boundaries which
+# would also count punctuation-adjacent words ("the," counts for \bthe\b
+# but is not a whitespace token)
+def _tok_count(low: pd.Series, word: str) -> pd.Series:
+    return low.str.count(rf"(?<!\S){word}(?!\S)")
+
+
 @pandas_udf(T.StringType())
 def lang_id_v(s: pd.Series) -> pd.Series:
     """Marker-word voting, same semantics as operators.text.lang_id,
     computed with C-backed regex counts."""
     low = s.str.lower()
     scores = {
-        lang: sum(
-            low.str.count(rf"\b{m}\b") for m in markers
-        )
+        lang: sum(_tok_count(low, m) for m in markers)
         for lang, markers in LANG_MARKERS.items()
     }
     best = pd.Series("und", index=s.index)
@@ -63,7 +69,7 @@ def lang_id_v(s: pd.Series) -> pd.Series:
 @pandas_udf(T.DoubleType())
 def stopword_ratio_v(s: pd.Series) -> pd.Series:
     low = s.str.lower()
-    n_stop = sum(low.str.count(rf"\b{w}\b") for w in STOPWORDS)
+    n_stop = sum(_tok_count(low, w) for w in STOPWORDS)
     n_tok = s.str.split().str.len()
     return (n_stop / n_tok).fillna(0.0).round(4)
 

@@ -125,11 +125,16 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(jac, 4).alias("jaccard")
-        ).filter(F.col("jaccard") > threshold)
-    )
+    out = pairs.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") > threshold)
+    # materialize the (threshold-filtered, small) pair set eagerly and
+    # release the shared shingle cache: without this every invocation
+    # leaks its cached blocks into the session (localCheckpoint blocks
+    # are reference-tracked and GC-cleaned, cacheManager entries are not)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash_candidate_pairs(

@@ -200,7 +200,7 @@ def _regex_filter(options: dict) -> Callable:
     col, pattern = options["col"], options["pattern"]
 
     def fn(df: DataFrame) -> DataFrame:
-        return df.filter(F.col(col).rlike(pattern))
+        return _restamp(df.filter(F.col(col).rlike(pattern)), options)
 
     return fn
 
@@ -212,7 +212,7 @@ def _rename_filter(options: dict) -> Callable:
     def fn(df: DataFrame) -> DataFrame:
         for old, new in mapping.items():
             df = df.withColumnRenamed(old, new)
-        return df
+        return _restamp(df, options)
 
     return fn
 
@@ -224,7 +224,7 @@ def _split_filter(options: dict) -> Callable:
     out = options.get("out", f"{col}_parts")
 
     def fn(df: DataFrame) -> DataFrame:
-        return df.withColumn(out, F.split(F.col(col), sep))
+        return _restamp(df.withColumn(out, F.split(F.col(col), sep)), options)
 
     return fn
 
@@ -248,7 +248,8 @@ def _sort_filter(options: dict) -> Callable:
     within = bool(options.get("within_partitions", False))
 
     def fn(df: DataFrame) -> DataFrame:
-        return df.sortWithinPartitions(*by) if within else df.orderBy(*by)
+        out = df.sortWithinPartitions(*by) if within else df.orderBy(*by)
+        return _restamp(out, options)
 
     return fn
 

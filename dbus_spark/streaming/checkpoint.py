@@ -76,21 +76,49 @@ def file_source_batches(
     """Which files the file stream source actually grouped into each
     micro-batch (the per-batch input lineage). Reads the source's
     metadata log ``sources/<idx>/<batch>``; one entry per batch, in
-    batch order."""
+    batch order.
+
+    The source log compacts every ``compactInterval`` batches (default
+    10): batch N's log becomes ``N.compact`` holding EVERY entry so far
+    (each stamped with its original ``batchId``), and older plain files
+    may be cleaned up. We therefore replay the newest compact first and
+    overlay the plain files after it — without this, any run of ≥10
+    micro-batches silently loses the compacted batches' lineage."""
     log_dir = os.path.join(checkpoint_dir, "sources", str(source_idx))
-    entries = _read_log(log_dir)
-    out = []
-    for batch_id in sorted(entries):
-        files = []
-        for line in entries[batch_id][1:]:  # line 0 = version header
+    if not os.path.isdir(log_dir):
+        return []
+    names = [n for n in os.listdir(log_dir) if not n.startswith(".")]
+    compacts = sorted(
+        int(n.split(".", 1)[0])
+        for n in names
+        if n.endswith(".compact") and n.split(".", 1)[0].isdigit()
+    )
+    plains = sorted(int(n) for n in names if n.isdigit())
+
+    batches: dict[int, list[str]] = {}
+
+    def _ingest(path: str, default_bid: int) -> None:
+        with open(path) as f:
+            lines = f.read().splitlines()
+        for line in lines[1:]:  # line 0 = version header
             try:
                 obj = json.loads(line)
             except json.JSONDecodeError:
                 continue
             if isinstance(obj, dict) and "path" in obj:
-                files.append(obj["path"])
-        out.append(files)
-    return out
+                bid = int(obj.get("batchId", default_bid))
+                batches.setdefault(bid, []).append(obj["path"])
+
+    last_compact = -1
+    if compacts:
+        last_compact = compacts[-1]
+        _ingest(
+            os.path.join(log_dir, f"{last_compact}.compact"), last_compact
+        )
+    for bid in plains:
+        if bid > last_compact:
+            _ingest(os.path.join(log_dir, str(bid)), bid)
+    return [batches[b] for b in sorted(batches)]
 
 
 def last_committed_batch(checkpoint_dir: str) -> int | None:

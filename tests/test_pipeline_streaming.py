@@ -128,3 +128,62 @@ def test_checkpoint_inspection(spark, tmp_path):
     assert s["latest_committed"] == s["latest_batch"]
     assert s["uncommitted"] == []
     assert s["last_sources"]  # per-partition lineage present
+
+
+def test_file_source_lineage_survives_log_compaction(spark, tmp_path):
+    """The file-source metadata log compacts every 10 batches
+    ('9.compact' replaces batch 9 and may absorb older plain files);
+    lineage inspection must keep per-batch grouping across a run of
+    >= 10 micro-batches."""
+    from dbus_spark.sources import transcript_file_stream
+    from dbus_spark.streaming.checkpoint import file_source_batches
+
+    pdf = _write_fixture(tmp_path, n_convs=40, n_files=12)
+    src = transcript_file_stream(spark, str(tmp_path / "in"), 1)
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .format("noop")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    log_dir = tmp_path / "ck" / "sources" / "0"
+    assert any(
+        n.endswith(".compact") for n in os.listdir(log_dir)
+    ), "fixture did not trigger log compaction — raise n_files"
+    grouped = file_source_batches(str(tmp_path / "ck"))
+    files = [f for batch in grouped for f in batch]
+    assert len(grouped) >= 10  # one group per micro-batch, none lost
+    assert len(files) == len(set(files)) == 12
+    total = sum(
+        len(pd.read_parquet(p.replace("file://", ""))) for p in files
+    )
+    assert total == len(pdf)
+
+
+def test_out_ident_restamps_every_filter_kind(spark):
+    """Every planned filter honors out_ident, so a filter's emission
+    stops re-matching the matcher that fed it (round-1 gap: regex/
+    rename/split/sort silently dropped the option)."""
+    from dbus_spark.pipeline.dag import PLUGIN_REGISTRY
+    from dbus_spark.schema import IDENT_COL
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x y", 2), ("b", "y z", 1)], ["ident", "txt", "k"]
+    )
+    cases = {
+        "RegexFilter": {"col": "txt", "pattern": "y"},
+        "RenameFilter": {"mapping": {"k": "k2"}},
+        "SplitFilter": {"col": "txt"},
+        "SortFilter": {"by": ["k"]},
+        "PredicateFilter": {"where": "k >= 1"},
+        "CountFilter": {"by": ["ident"]},
+    }
+    for cls, opts in cases.items():
+        fn = PLUGIN_REGISTRY[cls]({**opts, "out_ident": "routed"})
+        out = fn(df)
+        idents = {r[0] for r in out.select(IDENT_COL).collect()}
+        assert idents == {"routed"}, f"{cls} ignored out_ident"

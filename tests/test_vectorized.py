@@ -39,6 +39,24 @@ def test_stopword_ratio_v(spark):
     assert got[0] > got[1]
 
 
+def test_lang_and_stopwords_match_jvm_on_punctuation(spark):
+    """The vectorized path must tokenize exactly like operators.text
+    (whitespace tokens), including punctuation-adjacent words that \\b
+    word boundaries would miscount."""
+    from dbus_spark.operators.text import lang_id
+
+    rows = [
+        ("the, cat and. the hat",),   # "the," is NOT a token match
+        ("the cat and the hat is a cat",),
+        ("le chat! et la maison des les",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = df.select(
+        lang_id_v("text").alias("v"), lang_id("text").alias("jvm")
+    ).toPandas()
+    assert (got["v"] == got["jvm"]).all()
+
+
 def test_enrich_turns_deterministic(spark, transcripts_df):
     df = transcripts_df.limit(300)
     a = enrich_turns(df).select("conv_id", "turn_idx", "n_tokens", "fp64", "lang")
