@@ -143,6 +143,29 @@ def _rate_input(options: dict) -> Callable:
     return fn
 
 
+def _http_input(options: dict) -> Callable:
+    """HTTPInput analog (reference: plugins/input/http/HTTPInput.go:
+    18-71): a drop-zone directory stands in for the POST endpoint —
+    ``sources.dropzone.post_payload`` is the push side, this factory
+    the listener. The reference's own payload handler is an empty stub
+    (handler.go:7-8), so 'payload in → packet out' is the whole
+    contract."""
+
+    def fn(spark, sources, name):
+        from dbus_spark.sources.dropzone import dropzone_stream
+
+        return dropzone_stream(
+            spark,
+            options["path"],
+            schema=options.get("schema"),
+            max_files_per_trigger=int(
+                options.get("max_files_per_trigger", 10)
+            ),
+        )
+
+    return fn
+
+
 def _kafka_input(options: dict) -> Callable:
     """KafkaInput analog: one line of Spark replaces the reference's
     consumer group machinery (pkg/kafka/consumer.go:22-145); offsets,
@@ -306,6 +329,7 @@ for _name, _factory in [
     ("ParquetInput", _parquet_input),
     ("MockInput", _mock_input),
     ("FileStreamInput", _file_stream_input),
+    ("HTTPInput", _http_input),
     ("RateInput", _rate_input),
     ("KafkaInput", _kafka_input),
     ("IdempotentOutput", _idempotent_output),

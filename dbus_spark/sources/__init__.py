@@ -9,6 +9,7 @@ machinery the reference hand-builds is native to the source.
 """
 
 from dbus_spark.sources.batch import load_table, load_transcripts
+from dbus_spark.sources.dropzone import dropzone_stream, post_payload
 from dbus_spark.sources.stream import transcript_file_stream, rate_stream
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "load_transcripts",
     "transcript_file_stream",
     "rate_stream",
+    "dropzone_stream",
+    "post_payload",
 ]

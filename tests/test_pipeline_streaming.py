@@ -187,3 +187,40 @@ def test_out_ident_restamps_every_filter_kind(spark):
         out = fn(df)
         idents = {r[0] for r in out.select(IDENT_COL).collect()}
         assert idents == {"routed"}, f"{cls} ignored out_ident"
+
+
+def test_http_dropzone_input_routes_through_pipeline(spark, tmp_path):
+    """HTTPInput analog end-to-end: payloads pushed with post_payload
+    (the POST /v1/payload side) flow through the config→DAG layer and
+    arrive at the matched sink exactly once."""
+    from dbus_spark.sources.dropzone import post_payload
+
+    drop = str(tmp_path / "drop")
+    for i in range(3):
+        post_payload(drop, {"seq": i, "body": f"payload-{i}"})
+    cfg = {
+        "plugins": [
+            {
+                "name": "http",
+                "class": "HTTPInput",
+                "options": {
+                    "path": drop,
+                    "schema": "seq int, body string",
+                },
+            },
+            {"name": "sink", "class": "MemoryOutput", "match": ["http"]},
+        ]
+    }
+    sp = StreamingPipeline(
+        Pipeline(cfg), str(tmp_path / "ck")
+    ).start(spark)
+    sp.process_all_available()
+    # push more after the query started: the drop zone is live
+    post_payload(drop, {"seq": 3, "body": "payload-3"})
+    sp.process_all_available()
+    sp.stop()
+    got = (
+        spark.sql("SELECT seq, body FROM sink ORDER BY seq").toPandas()
+    )
+    assert list(got["seq"]) == [0, 1, 2, 3]
+    assert list(got["body"]) == [f"payload-{i}" for i in range(4)]

@@ -229,3 +229,56 @@ def test_ordered_turns_stream_per_turn_text_equality(spark, tmp_path):
         exp["turn_idx"].astype("int64"),
         check_names=False,
     )
+
+
+def test_streaming_salted_agg_matches_plain(spark, tmp_path):
+    """The salted two-phase aggregation runs as a genuine streaming
+    query — two chained stateful aggregations (partial on
+    (window, key, salt), merge on (window, key)), supported since
+    Spark's multiple-stateful-operator work — and its append-mode
+    output is row-identical to the single-phase windowed aggregation
+    on the same replay. Skew is a streaming problem at 10^12 turns;
+    this pins the streaming form, not just the batch equivalence."""
+    from dbus_spark.operators.windows import salted_windowed_agg
+
+    pdf = generate_transcripts(n_convs=40, seed=13)
+    write_stream_batches(pdf, str(tmp_path / "in"), n_files=4)
+
+    def run(df, ck):
+        coll = []
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .foreachBatch(lambda d, b: coll.append(d.toPandas()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        return pd.concat(coll, ignore_index=True)
+
+    salted = salted_windowed_agg(
+        transcript_file_stream(spark, str(tmp_path / "in"), 1),
+        "1 minute",
+        aggs={
+            "n_turns": ("count", "turn_idx"),
+            "max_turn": ("max", "turn_idx"),
+        },
+        keys=["conv_id"],
+        n_salts=8,
+        salt_source="turn_idx",
+        watermark="10 minutes",
+    )
+    got_salted = run(salted, "ck_salted")
+    plain = windowed_agg(
+        transcript_file_stream(spark, str(tmp_path / "in"), 1),
+        "1 minute",
+        aggs={"n_turns": F.count("*"), "max_turn": F.max("turn_idx")},
+        keys=["conv_id"],
+        watermark="10 minutes",
+    )
+    got_plain = run(plain, "ck_plain")
+    assert len(got_salted) == len(got_plain) > 0
+    from tests.conftest import assert_pdf_equal
+
+    assert_pdf_equal(got_salted, got_plain, ["conv_id", "window_start"])
