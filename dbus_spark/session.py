@@ -31,8 +31,19 @@ _DEFAULT_CONFS = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     ),
+    # Commit deltas instead of full RocksDB snapshots per micro-batch —
+    # the recommended production setting for frequent small commits;
+    # snapshots still happen in the background for bounded replay.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    ".enabled": "true",
     # Streaming micro-batch planning.
     "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    # collect_list/collect_set aggregations (session role sequences)
+    # use ObjectHashAggregate, which falls back to sort-based
+    # aggregation at 128 distinct keys PER TASK — absurdly low for
+    # sessionization (thousands of sessions per partition). Raising it
+    # keeps the hash path; memory stays bounded by per-session payload.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
     # Deterministic timezone for window arithmetic + oracle comparison.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "snappy",

@@ -58,6 +58,7 @@ class IdempotentKeyedSink:
         keys: list[str] | None = None,
         dedup_mode: str = "anti_join",
         track_counts: bool = True,
+        coalesce_output: int | None = None,
     ):
         if dedup_mode not in ("anti_join", "epoch_overwrite"):
             raise ValueError(f"unknown dedup_mode: {dedup_mode}")
@@ -69,6 +70,11 @@ class IdempotentKeyedSink:
         # paths — exactly the reference's RouterTrack lesson (metrics
         # on the hot path cost 2.1M->1.6M pkt/s, engine/router.go:111)
         self.track_counts = track_counts
+        # aggregated micro-batch output is often tiny relative to the
+        # upstream shuffle width; writing shuffle-partition-many files
+        # per epoch is per-task/per-file overhead. Set to bound the
+        # files per epoch (None keeps the upstream partitioning).
+        self.coalesce_output = coalesce_output
         self.data_path = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_batches")
         os.makedirs(self.data_path, exist_ok=True)
@@ -119,6 +125,8 @@ class IdempotentKeyedSink:
                 .select(*self.keys)
             )
             fresh = fresh.join(existing_keys, on=self.keys, how="left_anti")
+        if self.coalesce_output:
+            fresh = fresh.coalesce(self.coalesce_output)
         if self.track_counts:
             fresh = fresh.persist()
             n = fresh.count()

@@ -104,8 +104,18 @@ class MetricsListener(StreamingQueryListener):
         data = [b for b in batches if b.input_rows > 0]
         if not data:
             return {"batches": 0}
-        durations = sorted(b.duration_ms for b in data)
-        p95 = durations[min(len(durations) - 1, int(len(durations) * 0.95))]
+        def _p95(ms: list[int]) -> int | None:
+            if not ms:
+                return None
+            s = sorted(ms)
+            return s[min(len(s) - 1, int(len(s) * 0.95))]
+
+        first = min(b.batch_id for b in data)
+        # warm p95 excludes the first batch of each run: batch 0 pays
+        # one-time costs (plan compile, python-worker pool fork, state
+        # store instantiation) that are amortized over a real stream's
+        # lifetime — report both so the cold path stays visible
+        warm = [b.duration_ms for b in data if b.batch_id != first]
         total_rows = sum(b.input_rows for b in data)
         total_sec = sum(b.duration_ms for b in data) / 1000.0
         return {
@@ -114,7 +124,8 @@ class MetricsListener(StreamingQueryListener):
             "sustained_rows_per_sec": (
                 total_rows / total_sec if total_sec > 0 else 0.0
             ),
-            "p95_batch_ms": p95,
+            "p95_batch_ms": _p95([b.duration_ms for b in data]),
+            "p95_batch_ms_warm": _p95(warm),
             "max_state_rows": max(b.state_rows for b in data),
             "last_watermark": data[-1].watermark,
         }
