@@ -266,6 +266,21 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def _doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", TX.token_count_bpe("text").alias("n_bpe")
+    )
+
+
+def _doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode_outer, not explode: same InferFiltersFromGenerate trap
+    # as doc_minhash (a synthesized size()>0 filter would re-evaluate
+    # the whole rolling-hash chain single-threaded at the scan)
+    docs = _docs(spark, sf_dir)
+    return D.winnow_fingerprints(docs)
+
+
 def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sig = D.minhash_signature(docs, n_hashes=16)
@@ -334,6 +349,15 @@ def _emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs_lsh(emb, threshold=0.4, dim=64)
 
 
+def _emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-style ANN: nearest-centroid inverted lists + multi-probe —
+    # seeded centroids are shared into the oracle as literals
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.knn_ivf(emb, query_ids=[0, 1, 2, 3, 4], dim=64, k=3)
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas decode plumbing with the deterministic fake decoder
     # (no codec libs in container) → rows-only check
@@ -376,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_token_bpe": _doc_token_bpe,
+        "doc_winnow": _doc_winnow,
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
         "doc_simhash": _doc_simhash,
@@ -385,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
         "emb_knn_lsh": _emb_knn_lsh,
+        "emb_knn_ivf": _emb_knn_ivf,
         "multimodal_features": _multimodal_features,
     }
 
@@ -497,6 +524,42 @@ def _neardup_lsh_oracle(
         "JOIN embeddings y ON y.vec_id = c.id_b "
         "WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], "
         f"y.embedding::DOUBLE[]), 4) > {threshold}"
+    )
+
+
+def _knn_ivf_oracle(
+    n_centroids: int = 16, n_probes: int = 4, k: int = 3
+) -> str:
+    from dbus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_centroids, 64, seed=11)
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], [{c}]::DOUBLE[])".format(
+            c=", ".join(repr(float(x)) for x in cent)
+        )
+        for cent in cents
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, [{dots}] AS dots "
+        "FROM embeddings), "
+        "a AS (SELECT vec_id, embedding, "
+        "  list_position(dots, list_max(dots)) - 1 AS cell FROM d), "
+        "p0 AS (SELECT vec_id AS q_id, embedding AS qv, "
+        "  unnest([{'cell': i, 'cdot': dots[i+1]} "
+        f"          for i in range(0, {n_centroids})]) AS u "
+        "  FROM d WHERE vec_id IN (0,1,2,3,4)), "
+        "p1 AS (SELECT q_id, qv, u.cell AS cell, u.cdot AS cdot FROM p0), "
+        "pr AS (SELECT q_id, qv, cell, ROW_NUMBER() OVER "
+        "  (PARTITION BY q_id ORDER BY cdot DESC, cell ASC) AS prank "
+        "  FROM p1), "
+        f"probes AS (SELECT q_id, qv, cell FROM pr WHERE prank <= {n_probes}), "
+        "scored AS (SELECT p.q_id, a.vec_id AS n_id, "
+        "  list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]) AS s "
+        "  FROM probes p JOIN a ON a.cell = p.cell "
+        "  WHERE a.vec_id <> p.q_id), "
+        "r AS (SELECT q_id, n_id, s, ROW_NUMBER() OVER "
+        "  (PARTITION BY q_id ORDER BY s DESC, n_id ASC) AS rank FROM scored) "
+        f"SELECT q_id, n_id, rank, ROUND(s, 4) AS sim FROM r WHERE rank <= {k}"
     )
 
 
@@ -628,6 +691,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
             "'\\s+', ' ', 'g')) AS fp FROM documents"
         ),
+        "doc_token_bpe": (
+            r"SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe FROM documents"
+        ),
+        "doc_winnow": (
+            r"WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), "
+            r"'\s+', ' ', 'g') AS t FROM documents), "
+            "h AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN "
+            "  [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT "
+            "   for i in range(1, len(t) - 6)] "
+            "  ELSE [] END AS hs FROM nm), "
+            "m AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "  list_distinct([list_min(hs[j:j+3]) "
+            "                 for j in range(1, len(hs) - 2)]) "
+            "  ELSE [] END AS fps FROM h) "
+            "SELECT doc_id, unnest(CASE WHEN len(fps) = 0 "
+            "THEN [NULL::BIGINT] ELSE fps END) AS fp FROM m"
+        ),
         "doc_minhash": (
             _minhash_sig_cte()
             + " SELECT doc_id, i AS hash_idx, sg[i + 1] AS minval "
@@ -696,5 +777,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_knn_lsh": _knn_lsh_oracle(),
         "emb_neardup_lsh": _neardup_lsh_oracle(),
+        "emb_knn_ivf": _knn_ivf_oracle(),
         # multimodal_features: rows-only (codecs stubbed, see queries())
     }

@@ -38,6 +38,8 @@ BATCH_QUERIES = [
     "doc_quality",
     "doc_lang_id",
     "doc_fingerprint",
+    "doc_token_bpe",
+    "doc_winnow",
     "doc_minhash",
     "doc_lsh_pairs",
     "doc_simhash",
@@ -47,6 +49,7 @@ BATCH_QUERIES = [
     "emb_neardup",
     "emb_neardup_lsh",
     "emb_knn_lsh",
+    "emb_knn_ivf",
     "multimodal_features",
 ]
 

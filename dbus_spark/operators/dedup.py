@@ -137,6 +137,45 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character ``k``-gram of the normalized text (the rolling hash —
+    here the md5-derived h32 so the oracle reproduces it), then keep
+    the minimum hash of every ``w``-wide window and dedup. Guarantees
+    any match of length ≥ w+k-1 shares a fingerprint, at ~2/(w+1)
+    selection density. Pure map-side Catalyst (one row per selected
+    fingerprint) — the shuffle, if any, belongs to the downstream
+    fingerprint join."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    n = F.length(norm)
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        gram_idx, lambda i: _h32(norm.substr(i, F.lit(k)))
+    )
+    win_idx = F.when(
+        F.size(hashes) >= w,
+        F.sequence(F.lit(1), F.size(hashes) - w + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    mins = F.array_distinct(
+        F.transform(
+            win_idx, lambda j: F.array_min(F.slice(hashes, j, w))
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode_outer(mins).alias("fp")
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -130,6 +130,108 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_centroids(
+    n_centroids: int, dim: int, seed: int = 11
+) -> list[list[float]]:
+    """Deterministic unit-norm 'centroids' from the seed — the IVF
+    coarse quantizer. On a real corpus these come from a k-means pass
+    (itself a Spark job); the assignment/probe machinery below is
+    identical either way, and seeding keeps the oracle reproducible."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array of <v, c_i> per centroid — the coarse-quantizer scores."""
+    return F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product,
+    first index on ties) — map-side only, the IVF inverted-list key.
+    At scale this is the partitioning column of the vector table."""
+    cents = ivf_centroids(n_centroids, dim, seed)
+    dots = _centroid_dots(vec_col, cents)
+    return df.withColumn(
+        out_col,
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors live in their nearest-centroid cell; a
+    query probes its ``n_probes`` best cells and exact-scores only
+    those inverted lists. The scan side shuffles once on ``cell``;
+    the (tiny) probe side broadcasts — candidates are
+    |docs|·n_probes/n_centroids in expectation, never O(n²).
+    Complements SRP-LSH (`knn_lsh`): IVF recall degrades gracefully
+    with n_probes instead of collapsing with bucket width."""
+    cents = ivf_centroids(n_centroids, dim, seed)
+    assigned = ivf_assign(df, dim, n_centroids, seed, vec_col)
+    dots = _centroid_dots(vec_col, cents)
+    probes = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(dots).alias("cell", "cdot"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cdot").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("prank") <= n_probes)
+        .select("q_id", "q_vec", "cell")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, on="cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("_sim", 4).alias("sim"))
+    )
+
+
 def lsh_bucket_tables(
     df: DataFrame,
     dim: int,

@@ -76,6 +76,21 @@ def lang_id(col: str | Column = "text") -> Column:
     return best
 
 
+# subword-ish lexer classes: letter runs, digit runs, single
+# non-alnum marks — the shape of a BPE pre-tokenizer's coarse pass,
+# kept to constructs Java regex and the oracle's RE2 agree on
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: str | Column = "text") -> Column:
+    """BPE-ish token count: counts lexer-class matches instead of
+    whitespace splits, so punctuation and digits count as their own
+    tokens — the pre-tokenization granularity an LLM data pipeline
+    budgets by."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Normalized document fingerprint: md5 of the
     lowercased, whitespace-collapsed text."""

@@ -85,6 +85,16 @@ def test_neardup_lsh_recall_vs_bruteforce(spark):
     assert len(approx) >= 0.5 * len(exact)  # recall floor at θ≈66°
 
 
+def test_knn_ivf_probe_join_shape(spark):
+    """IVF ANN: the probe side must broadcast and the candidate join
+    must be on the cell key — never an all-pairs product."""
+    q = entrymod.queries()["emb_knn_ivf"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # tiny probe side broadcasts
+
+
 def test_interval_join_not_cartesian(spark):
     q = entrymod.queries()["interval_join"](spark, SF_DIR)
     plan = _plan(q)
