@@ -349,6 +349,16 @@ def _emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs_lsh(emb, threshold=0.4, dim=64)
 
 
+def _emb_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over the LSH near-dup graph (iterative
+    # min-label propagation; driver loop schedules rounds only) —
+    # oracle = recursive CTE over the identical edge set
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.neardup_groups(emb, threshold=0.4, dim=64)
+
+
 def _emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-style ANN: nearest-centroid inverted lists + multi-probe —
     # seeded centroids are shared into the oracle as literals
@@ -410,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
+        "emb_neardup_groups": _emb_neardup_groups,
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
         "multimodal_features": _multimodal_features,
@@ -524,6 +535,25 @@ def _neardup_lsh_oracle(
         "JOIN embeddings y ON y.vec_id = c.id_b "
         "WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], "
         f"y.embedding::DOUBLE[]), 4) > {threshold}"
+    )
+
+
+def _neardup_groups_oracle(threshold: float = 0.4) -> str:
+    """Connected components of the LSH pair graph as a recursive CTE:
+    r enumerates every (node, reachable-node) pair through the
+    symmetric edge set; min per node = the component label (the same
+    min-label fixpoint the Spark loop converges to)."""
+    pairs = _neardup_lsh_oracle(threshold)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        "e AS (SELECT id_a, id_b FROM pairs "
+        "      UNION ALL SELECT id_b, id_a FROM pairs), "
+        "r AS ("
+        "  SELECT vec_id AS id, vec_id AS label FROM embeddings "
+        "  UNION "
+        "  SELECT e.id_a AS id, r.label FROM e JOIN r ON r.id = e.id_b"
+        ") "
+        "SELECT id AS vec_id, MIN(label) AS grp FROM r GROUP BY id"
     )
 
 
@@ -777,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_knn_lsh": _knn_lsh_oracle(),
         "emb_neardup_lsh": _neardup_lsh_oracle(),
+        "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
         # multimodal_features: rows-only (codecs stubbed, see queries())
     }

@@ -48,6 +48,7 @@ BATCH_QUERIES = [
     "emb_knn",
     "emb_neardup",
     "emb_neardup_lsh",
+    "emb_neardup_groups",
     "emb_knn_lsh",
     "emb_knn_ivf",
     "multimodal_features",

@@ -322,6 +322,80 @@ def neardup_pairs_lsh(
     )
 
 
+def neardup_groups(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the verified
+    LSH pair graph, labelling every vector with the minimum id
+    reachable through above-threshold edges — the step that turns a
+    pair list into dedup groups (keep one representative per group).
+
+    Components are computed by iterative min-label propagation — the
+    standard distributed CC formulation (each round: every node takes
+    the min label among itself and its neighbors; a round is one join
+    + one aggregation, all data-parallel). The driver loop only
+    *schedules* rounds and checks a scalar convergence count; no data
+    ever visits the driver. Near-dup clusters are dense (diameter ~2),
+    so convergence takes O(log d) ≈ 2-4 rounds; each round
+    localCheckpoints the (tiny: nodes-in-edges only) label frame so
+    plans don't grow with iteration count."""
+    pairs = neardup_pairs_lsh(
+        df, threshold, dim, n_tables, planes_per_table, seed,
+        id_col, vec_col,
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.id == neighbor_min.id_a, "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter("_chg").count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    # vectors in no edge are their own (singleton) group
+    return (
+        df.select(F.col(id_col))
+        .join(labels, df[id_col] == labels.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("grp"),
+        )
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_ids: list[int],
