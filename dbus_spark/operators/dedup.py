@@ -60,19 +60,27 @@ def exact_dedup(
 
 
 def word_shingles(col: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = tokens(col)
-    # guard: Spark's sequence(0, k) descends for k<0 — short docs get
-    # an empty shingle set instead
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Distinct word n-gram shingles of a document.
+
+    The token split is bound as a lambda variable (singleton-array
+    transform) so it evaluates once per row — referenced directly
+    inside the shingle lambda it would re-split the text once per
+    shingle (the winnow_fingerprints evaluation-order lesson)."""
+
+    def _shingles(toks: Column) -> Column:
+        # guard: Spark's sequence(0, k) descends for k<0 — short docs
+        # get an empty shingle set instead
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
         )
-    )
+
+    return F.get(F.transform(F.array(tokens(col)), _shingles), 0)
 
 
 def ngram_jaccard_pairs(
@@ -155,22 +163,34 @@ def winnow_fingerprints(
     norm = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
     )
-    n = F.length(norm)
-    gram_idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(
-        gram_idx, lambda i: _h32(norm.substr(i, F.lit(k)))
-    )
-    win_idx = F.when(
-        F.size(hashes) >= w,
-        F.sequence(F.lit(1), F.size(hashes) - w + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    mins = F.array_distinct(
-        F.transform(
-            win_idx, lambda j: F.array_min(F.slice(hashes, j, w))
+
+    # Evaluation-order trap: referencing a per-row EXPRESSION inside a
+    # higher-order-function lambda inlines it per ELEMENT (the norm
+    # regex would run once per character position — measured O(n²),
+    # 292 s for 5 k docs at sf0.1). Binding it as a lambda VARIABLE via
+    # a singleton-array transform evaluates it once per row: lambda
+    # vars are bound values, not expressions. Same trick for the hash
+    # array before the window pass. 292 s → ~2 s, plan stays map-side.
+    def _once(expr: Column, body) -> Column:
+        return F.get(F.transform(F.array(expr), body), 0)
+
+    def _grams(t: Column) -> Column:
+        idx = F.when(
+            F.length(t) >= k,
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: _h32(t.substr(i, F.lit(k))))
+
+    def _window_mins(hs: Column) -> Column:
+        idx = F.when(
+            F.size(hs) >= w,
+            F.sequence(F.lit(1), F.size(hs) - w + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda j: F.array_min(F.slice(hs, j, w)))
         )
-    )
+
+    mins = _once(_once(norm, _grams), _window_mins)
     return df.select(
         F.col(id_col), F.explode_outer(mins).alias("fp")
     )
