@@ -150,16 +150,18 @@ def generate_transcripts(
 
 
 def write_stream_batches(
-    df: pd.DataFrame, out_dir: str, n_files: int = 8
+    df: pd.DataFrame, out_dir: str, n_files: int = 8, start_index: int = 0
 ) -> list[str]:
     """Split an ``_arrival``-ordered transcript frame into N parquet
     files (micro-batch fixture for the file-stream source). Returns the
-    file paths in arrival order."""
+    file paths in arrival order. ``start_index`` offsets the file
+    numbering so later calls append to a live drop directory without
+    clobbering files the stream already consumed."""
     os.makedirs(out_dir, exist_ok=True)
     body = df.drop(columns=["_arrival"])
     paths = []
     for i, chunk in enumerate(np.array_split(np.arange(len(body)), n_files)):
-        p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
+        p = os.path.join(out_dir, f"batch-{start_index + i:05d}.parquet")
         body.iloc[chunk].to_parquet(p, index=False)
         paths.append(p)
     return paths

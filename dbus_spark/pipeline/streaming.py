@@ -169,6 +169,24 @@ class StreamingPipeline:
         for q in self.queries.values():
             q.awaitTermination(60)
 
+    # -- hot reload (engine/engine.go:355-363 analog) --------------------
+
+    def reload(self, new_pipeline: Pipeline) -> "StreamingPipeline":
+        """Config-change hot reload: gracefully drain and stop every
+        query, swap in the new Pipeline, and restart each output from
+        its existing checkpoint — the reference's config-watch →
+        graceful-restart loop (engine/engine.go:355-363,
+        cmd/dbusd/main.go:70-90), with Spark's checkpoint making the
+        restart exactly-once instead of best-effort. Plan changes must
+        be checkpoint-compatible per Spark's usual stateful-operator
+        evolution rules (adding sinks/routes or changing stateless
+        transforms is fine; reshaping stateful operators is not)."""
+        assert self._spark is not None, "pipeline not started"
+        self.stop()
+        self.pipeline = new_pipeline
+        self.queries = {}
+        return self.start(self._spark)
+
     # -- pause / resume (engine/api_v1.go analog) -----------------------
 
     def pause(self, name: str) -> None:

@@ -224,3 +224,84 @@ def test_http_dropzone_input_routes_through_pipeline(spark, tmp_path):
     )
     assert list(got["seq"]) == [0, 1, 2, 3]
     assert list(got["body"]) == [f"payload-{i}" for i in range(4)]
+
+
+def test_hot_reload_swaps_config_continues_checkpoint(spark, tmp_path):
+    """Config hot reload (engine/engine.go:355-363 analog): drain,
+    swap the DAG, restart — existing sinks continue exactly-once from
+    their checkpoints, newly-added routes see the full input."""
+    pdf = _write_fixture(tmp_path, n_convs=20, n_files=2, seed=17)
+
+    def config(with_tool: bool):
+        plugins = [
+            {
+                "name": "turns",
+                "class": "FileStreamInput",
+                "options": {
+                    "path": str(tmp_path / "in"),
+                    "max_files_per_trigger": 1,
+                },
+            },
+            {
+                "name": "rekey",
+                "class": "RekeyFilter",
+                "match": ["turns"],
+                "options": {"ident_col": "role"},
+            },
+            {
+                "name": "user_out",
+                "class": "IdempotentOutput",
+                "match": ["user"],
+                "options": {
+                    "path": str(tmp_path / "user_out"),
+                    "keys": ["conv_id", "turn_idx"],
+                },
+            },
+        ]
+        if with_tool:
+            plugins.append(
+                {
+                    "name": "tool_out",
+                    "class": "IdempotentOutput",
+                    "match": ["tool"],
+                    "options": {
+                        "path": str(tmp_path / "tool_out"),
+                        "keys": ["conv_id", "turn_idx"],
+                    },
+                }
+            )
+        return {"plugins": plugins}
+
+    sp = StreamingPipeline(
+        Pipeline(config(False)), str(tmp_path / "ck")
+    ).start(spark)
+    sp.process_all_available()
+
+    # more data lands, then the config gains a tool route
+    from dbus_spark.datagen import generate_transcripts, write_stream_batches
+
+    extra = generate_transcripts(n_convs=10, seed=18)
+    write_stream_batches(
+        extra, str(tmp_path / "in"), n_files=1, start_index=100
+    )
+    sp.reload(Pipeline(config(True)))
+    sp.process_all_available()
+    sp.stop()
+
+    both = pd.concat([pdf, extra], ignore_index=True)
+    users = both[both["role"] == "user"].drop_duplicates(
+        ["conv_id", "turn_idx"]
+    )
+    tools = both[both["tool"].notna()].drop_duplicates(
+        ["conv_id", "turn_idx"]
+    )
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    got_u = IdempotentKeyedSink(str(tmp_path / "user_out")).read(spark)
+    got_t = IdempotentKeyedSink(str(tmp_path / "tool_out")).read(spark)
+    assert got_u.count() == len(users)  # continued, no dups, no gaps
+    assert (
+        got_u.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        == 0
+    )
+    assert got_t.count() == len(tools)  # new route saw the full input
