@@ -202,6 +202,41 @@ def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship DAG — multi-table binlog dispatch
+    (etc/canal.cf: one CDC stream, per-table routing) — on the TPC-H-ish
+    tables: two tables enter the bus as packets, idents default to
+    their input names, one output subscribes to both, then a per-table
+    per-day rollup. Exercises multi-input union routing end-to-end."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("event_day"),
+        F.col("o_totalprice").alias("val"),
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("event_day"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    cfg = {
+        "plugins": [
+            {"name": "orders_src", "class": "MemoryInput"},
+            {"name": "lineitem_src", "class": "MemoryInput"},
+            {
+                "name": "bus_out",
+                "class": "MemoryOutput",
+                "match": ["orders_src", "lineitem_src"],
+            },
+        ]
+    }
+    routed = Pipeline(cfg).run(
+        spark,
+        sources={"orders_src": orders, "lineitem_src": lineitem},
+    )["bus_out"]
+    return routed.groupBy("ident", "event_day").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+    )
+
+
 def _ordered_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -402,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_user": _session_window_user,
         "session_roles": _session_roles,
         "interval_join": _interval_join,
+        "cdc_dispatch": _cdc_dispatch,
         "ordered_seq": _ordered_seq,
         "topk_per_user": _topk_per_user,
         "event_json": _event_json,
@@ -671,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events c JOIN events p ON c.user_id = p.user_id "
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+        ),
+        "cdc_dispatch": (
+            "SELECT 'orders_src' AS ident, o_orderdate AS event_day, "
+            "COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_val "
+            "FROM orders GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'lineitem_src' AS ident, l_shipdate AS event_day, "
+            "COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS sum_val "
+            "FROM lineitem GROUP BY 2"
         ),
         "ordered_seq": (
             "SELECT user_id, event_id, ROW_NUMBER() OVER "

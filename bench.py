@@ -30,6 +30,7 @@ BATCH_QUERIES = [
     "session_window_user",
     "session_roles",
     "interval_join",
+    "cdc_dispatch",
     "ordered_seq",
     "topk_per_user",
     "event_json",
