@@ -118,19 +118,23 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, on="s", how="left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh = sh.join(sizes, on=id_col)
     a = sh.alias("a")
     b = sh.alias("b")
+    # set sizes join AFTER the pair aggregation: the shingle self-join
+    # and the (id_a, id_b) shuffle are the heavy paths — keep their
+    # rows at two ids wide; n_sh attaches to the (small) pair set
     pairs = (
         a.join(b, on="s")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("common"))
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("n_sh").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("n_b")), on="id_b")
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     out = pairs.select(

@@ -282,3 +282,51 @@ def test_streaming_salted_agg_matches_plain(spark, tmp_path):
     from tests.conftest import assert_pdf_equal
 
     assert_pdf_equal(got_salted, got_plain, ["conv_id", "window_start"])
+
+
+def test_ordered_bucket_count_is_policy_only(spark, tmp_path):
+    """n_buckets is a scheduling knob, not semantics: different bucket
+    counts produce identical output rows, and state stays O(buckets)
+    rows in the store (the 10^12-turn state-size design point)."""
+    knobs = TranscriptKnobs(late_frac=0.0, dup_frac=0.02)
+    pdf = generate_transcripts(n_convs=30, seed=23, knobs=knobs)
+    write_stream_batches(pdf, str(tmp_path / "in"), n_files=3)
+
+    def run(n_buckets, tag):
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+        src = transcript_file_stream(spark, str(tmp_path / "in"), 1)
+        ordered = ordered_turns_stream(
+            src, watermark="10 minutes", n_buckets=n_buckets
+        )
+        coll = []
+        q = (
+            ordered.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .foreachBatch(lambda d, b: coll.append(d.toPandas()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        run_id = str(q.runId)
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            s = listener.summary(run_id)
+            if s.get("batches", 0) >= 3:
+                break
+            time.sleep(0.25)
+        spark.streams.removeListener(listener)
+        return pd.concat(coll, ignore_index=True), s
+
+    got4, s4 = run(4, "a")
+    got64, s64 = run(64, "b")
+    from tests.conftest import assert_pdf_equal
+
+    assert len(got4) > 0
+    assert_pdf_equal(got4, got64, ["conv_id", "turn_idx"])
+    # state rows are bucket-count-bounded, never conversation-bounded
+    assert s4["max_state_rows"] <= 4
+    assert s64["max_state_rows"] <= 64
