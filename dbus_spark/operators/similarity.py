@@ -38,6 +38,18 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a, b, na, nb) -> Column:
+    """Cosine with pre-computed norms. The higher-order-function fold
+    is interpreted (no codegen inside lambdas), so norms recomputed
+    per candidate PAIR cost 2× the dot product for nothing — compute
+    them once per ROW before the join and carry the scalar. Same
+    doubles, same association as :func:`cosine` (norm is the same
+    sqrt-of-self-dot; the product order is unchanged)."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return dot(a, b) / (na * nb)
+
+
 def knn_bruteforce(
     df: DataFrame,
     query_ids: list[int],
@@ -52,10 +64,14 @@ def knn_bruteforce(
     per-query top-k, which is a k-row-per-partition aggregation).
     """
     q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_n"),
     )
     cand = df.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_n"),
     )
     scored = (
         F.broadcast(q)
@@ -64,7 +80,7 @@ def knn_bruteforce(
         .select(
             "q_id",
             "n_id",
-            cosine("q_vec", "n_vec").alias("_sim"),
+            cosine_pre("q_vec", "n_vec", "q_n", "n_n").alias("_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -87,16 +103,22 @@ def neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine > threshold (brute force baseline)."""
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
     )
     b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
     )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
         )
         .filter(F.col("sim") > threshold)
     )
@@ -198,6 +220,7 @@ def knn_ivf(
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("q_n"),
             F.posexplode(dots).alias("cell", "cdot"),
         )
         .withColumn(
@@ -209,18 +232,23 @@ def knn_ivf(
             ),
         )
         .filter(F.col("prank") <= n_probes)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "q_n", "cell")
     )
     cand = assigned.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_n"),
         "cell",
     )
     scored = (
         F.broadcast(probes)
         .join(cand, on="cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("_sim"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_pre("q_vec", "n_vec", "q_n", "n_n").alias("_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_sim").desc(), F.col("n_id").asc()
@@ -312,12 +340,24 @@ def neardup_pairs_lsh(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
+        )
         .filter(F.col("sim") > threshold)
     )
 
@@ -413,18 +453,24 @@ def knn_lsh(
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_n"),
         F.col("bucket"),
     )
     cand = bucketed.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_n"),
         F.col("bucket"),
     )
     scored = (
         F.broadcast(q)
         .join(cand, on="bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("_sim"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_pre("q_vec", "n_vec", "q_n", "n_n").alias("_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_sim").desc(), F.col("n_id").asc()
