@@ -237,6 +237,43 @@ def _cdc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join enrichment: the fact stream joins a small dimension
+    chain (customer → nation → region). The whole dim side is
+    broadcast — the fact scan never shuffles for the join, only the
+    final rollup aggregates (plan-asserted in tests/test_plans.py).
+    At 100 TB this is the shape for any metadata/catalog lookup the
+    reference does via its per-table column cache."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    dim = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def _ordered_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -438,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_roles": _session_roles,
         "interval_join": _interval_join,
         "cdc_dispatch": _cdc_dispatch,
+        "dim_enrich": _dim_enrich,
         "ordered_seq": _ordered_seq,
         "topk_per_user": _topk_per_user,
         "event_json": _event_json,
@@ -716,6 +754,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'lineitem_src' AS ident, l_shipdate AS event_day, "
             "COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS sum_val "
             "FROM lineitem GROUP BY 2"
+        ),
+        "dim_enrich": (
+            "SELECT r_name, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r_name"
         ),
         "ordered_seq": (
             "SELECT user_id, event_id, ROW_NUMBER() OVER "

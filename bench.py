@@ -31,6 +31,7 @@ BATCH_QUERIES = [
     "session_roles",
     "interval_join",
     "cdc_dispatch",
+    "dim_enrich",
     "ordered_seq",
     "topk_per_user",
     "event_json",

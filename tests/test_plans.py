@@ -95,6 +95,15 @@ def test_knn_ivf_probe_join_shape(spark):
     assert "BroadcastExchange" in plan  # tiny probe side broadcasts
 
 
+def test_dim_enrich_broadcasts_dimension_chain(spark):
+    """The star join must broadcast the (small) dim side: the fact
+    scan shuffles only for the final rollup, never for the join."""
+    q = entrymod.queries()["dim_enrich"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no fact-side join shuffle
+
+
 def test_interval_join_not_cartesian(spark):
     q = entrymod.queries()["interval_join"](spark, SF_DIR)
     plan = _plan(q)
