@@ -46,6 +46,7 @@ BATCH_QUERIES = [
     "doc_lsh_pairs",
     "doc_simhash",
     "doc_simhash_pairs",
+    "doc_simhash_neardup",
     "doc_jaccard_pairs",
     "emb_knn",
     "emb_neardup",
@@ -242,13 +243,25 @@ def main() -> None:
     spark = _session(cpus)
     t_all = time.time()
     queries = run_batch(spark, sf_dir)
-    stream = run_streaming(spark, STREAM_TURNS_CONVS)
+    # the host is shared (loadavg 1-11 from invisible neighbors) and a
+    # single streaming run can land in a load spike — keep the best of
+    # R runs per streaming section, all walls reported (the same
+    # methodology as scaling_bench)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    runs = [run_streaming(spark, STREAM_TURNS_CONVS) for _ in range(repeats)]
+    stream = min(runs, key=lambda r: r["sec"])
+    stream["walls_sec"] = [r["sec"] for r in runs]
     queries["streaming_pipeline"] = stream["sec"]
     # round 1 ran this at n_convs/4 because the per-conv-keyed state
     # machine couldn't keep up; the bucketed rewrite handles the full
     # fixture (same 8-file / 1-file-per-trigger replay as the window
     # pipeline, so the two streaming numbers are directly comparable)
-    ordered = run_ordered_streaming(spark, STREAM_TURNS_CONVS)
+    oruns = [
+        run_ordered_streaming(spark, STREAM_TURNS_CONVS)
+        for _ in range(repeats)
+    ]
+    ordered = min(oruns, key=lambda r: r["sec"])
+    ordered["walls_sec"] = [r["sec"] for r in oruns]
     queries["streaming_ordered"] = ordered["sec"]
 
     result = {

@@ -225,6 +225,41 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicates, candidate + verify: prefix-bucket
+    candidates (the cheap filter of ``simhash_candidate_pairs``) pass
+    through the exact hamming-distance check —
+    ``bit_count(xor(a, b)) <= max_hamming`` — entirely in the JVM.
+    Bucket-join shuffle + per-candidate popcount; never O(n²).
+    Classic Manku/Jain/Das Sarma near-dup detection, with the single
+    prefix table as the (documented) recall trade-off: rotations/
+    multi-prefix tables extend it the same way the SRP multi-table
+    construction does in similarity.py."""
+    sk = simhash(df, id_col, text_col).withColumn(
+        "bucket", F.shiftright("simhash", 32 - prefix_bits)
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # Affine MinHash permutations over the prime field GF(p), p = 2^31-1.
 # One (expensive, md5-based) base hash per shingle, then n cheap
 # arithmetic permutations h_i(x) = (a_i*x + b_i) mod p -- the classic
