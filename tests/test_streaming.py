@@ -2,6 +2,7 @@
 kill → resume → no duplicates; replay-stable output — TODO.md "reset
 binlog pos, and check kafka did not recv dup events")."""
 
+import json
 import os
 
 import pandas as pd
@@ -330,3 +331,118 @@ def test_ordered_bucket_count_is_policy_only(spark, tmp_path):
     # state rows are bucket-count-bounded, never conversation-bounded
     assert s4["max_state_rows"] <= 4
     assert s64["max_state_rows"] <= 64
+
+
+def test_ordered_stream_hot_conversation_skew(spark, tmp_path):
+    """One conversation holding ~40% of all turns (extreme Zipf head)
+    arriving shuffled across every batch: the bucketed state machine
+    must still emit it (and everyone else) exactly once in order —
+    the hot-key case salting cannot fix for keyed state (the key must
+    stay conv_id), handled instead by bounded per-conv buffers."""
+    knobs = TranscriptKnobs(
+        late_frac=0.0, dup_frac=0.05, hot_conv_frac=0.4
+    )
+    pdf = generate_transcripts(n_convs=15, seed=77, knobs=knobs)
+    hot_turns = pdf.groupby("conv_id")["turn_idx"].nunique().max()
+    assert hot_turns > 40  # the head really is hot
+    in_dir = tmp_path / "in"
+    write_stream_batches(pdf, str(in_dir), n_files=5)
+    far = pdf["ts"].max() + pd.Timedelta(hours=2)
+    _sentinel(far).to_parquet(in_dir / "batch-90000.parquet", index=False)
+    _sentinel(far + pd.Timedelta(minutes=1)).to_parquet(
+        in_dir / "batch-90001.parquet", index=False
+    )
+    src = transcript_file_stream(spark, str(in_dir), 1)
+    ordered = ordered_turns_stream(
+        src, watermark="10 minutes", flush_after_ms=1_000, n_buckets=8
+    )
+    coll = []
+    q = (
+        ordered.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda d, b: coll.append(d.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    got = pd.concat(coll, ignore_index=True)
+    got = got[got["conv_id"] != "zzz_sentinel"]
+    exp = oracle_pd.expected_ordered(pdf.drop(columns=["_arrival"]))
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert len(got) == len(exp)
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["text"], exp["text"], check_names=False)
+
+
+def test_streaming_doc_ingest_quality_dedup(spark, tmp_path):
+    """Composite training-data ingest, streaming form: documents
+    pushed through the drop zone → Arrow-vectorized quality scoring →
+    quality filter → streaming exact-dedup on the normalized
+    fingerprint → exactly-once sink. The LLM-pipeline operators
+    composing with the databus machinery end to end."""
+    import numpy as np
+
+    from dbus_spark.functions.vectorized import quality_score_v
+    from dbus_spark.operators.text import fingerprint
+    from dbus_spark.sinks import IdempotentKeyedSink
+    from dbus_spark.sources.dropzone import post_payload
+
+    rng = np.random.default_rng(9)
+    drop = str(tmp_path / "drop")
+    docs, payloads = [], []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(60):
+        words = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"], size=20)
+        )
+        text = words if i % 5 else "x"  # every 5th doc is junk-short
+        # ~25% redeliveries share a doc_id+text with an earlier doc
+        if i % 4 == 3:
+            src = docs[i - 1]
+            doc = dict(src)
+        else:
+            doc = {
+                "doc_id": i,
+                "text": text,
+                "ts": str(base + pd.Timedelta(minutes=i)),
+            }
+        docs.append(doc)
+        payloads.append(json.dumps(doc))
+    for chunk in range(0, 60, 20):
+        post_payload(drop, "\n".join(payloads[chunk : chunk + 20]))
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(drop)
+    )
+    cleaned = (
+        src.withColumn("quality", quality_score_v(F.col("text")))
+        .filter("quality >= 0.5")
+        .withColumn("fp", fingerprint("text"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    sink = IdempotentKeyedSink(str(tmp_path / "out"), keys=["fp"])
+    q = (
+        cleaned.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = sink.read(spark).toPandas()
+    # oracle: quality-passing distinct normalized texts
+    pdf = pd.DataFrame(docs)
+    ok = pdf[pdf["text"].str.len() >= 32]
+    exp_fps = ok["text"].str.strip().str.lower().str.replace(
+        r"\s+", " ", regex=True
+    ).drop_duplicates()
+    assert len(got) == len(exp_fps)
+    assert got["fp"].is_unique
