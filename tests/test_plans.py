@@ -42,6 +42,25 @@ def test_column_pruning_reaches_scan(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_new_ops_prune_their_scans(spark):
+    """Round-2 operators keep the pruning discipline: scans read only
+    the columns the query touches."""
+    cases = {
+        "doc_winnow": "ReadSchema: struct<doc_id:bigint,text:string>",
+        "doc_token_bpe": "ReadSchema: struct<doc_id:bigint,text:string>",
+        "doc_simhash_neardup": (
+            "ReadSchema: struct<doc_id:bigint,text:string>"
+        ),
+    }
+    for name, expected in cases.items():
+        plan = _plan(entrymod.queries()[name](spark, SF_DIR))
+        assert expected in plan, f"{name} over-reads its scan"
+    # dim_enrich: the orders fact scan must not read the unused cols
+    plan = _plan(entrymod.queries()["dim_enrich"](spark, SF_DIR))
+    assert "o_orderstatus" not in plan
+    assert "o_orderdate" not in plan
+
+
 def test_knn_broadcasts_query_side(spark):
     q = entrymod.queries()["emb_knn"](spark, SF_DIR)
     plan = _plan(q)
