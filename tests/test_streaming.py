@@ -423,7 +423,11 @@ def test_streaming_doc_ingest_quality_dedup(spark, tmp_path):
         src.withColumn("quality", quality_score_v(F.col("text")))
         .filter("quality >= 0.5")
         .withColumn("fp", fingerprint("text"))
-        .withWatermark("ts", "30 minutes")
+        # wider than the fixture's whole event-time span: the file
+        # source orders same-mtime files arbitrarily, and a narrower
+        # horizon would (correctly) drop an earlier file's rows as
+        # late when a later file happens to process first
+        .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["fp"])
     )
     sink = IdempotentKeyedSink(str(tmp_path / "out"), keys=["fp"])
