@@ -224,6 +224,36 @@ def run_ordered_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_dryrun_route(spark, n_rows: int = 50_000_000) -> dict:
+    """The reference's headline memo is a no-work router loop —
+    MockInput → ident match → blackhole at 1.9 M pkt/s (README.md:74).
+    The equivalent here: generate packets, stamp the routing ident,
+    run them through the REAL matcher predicate (build_matcher, the
+    same code path Pipeline routes with), blackhole the survivors.
+    Whole-stage codegen end to end — the fair apples-to-apples row."""
+    from pyspark.sql import functions as F
+
+    from dbus_spark.pipeline.matcher import build_matcher
+
+    df = (
+        spark.range(n_rows)
+        .withColumn(
+            "ident",
+            F.concat(F.lit("evt."), (F.col("id") % 5).cast("string")),
+        )
+        .filter(build_matcher(["evt.0", "evt.2", "evt.4"]))
+    )
+    _noop(df)  # warm codegen + JIT
+    t0 = time.time()
+    _noop(df)
+    dt = time.time() - t0
+    return {
+        "rows": n_rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt, 1),
+    }
+
+
 def _session(cpus: int):
     from dbus_spark.session import get_spark
 
@@ -263,6 +293,7 @@ def main() -> None:
     ordered = min(oruns, key=lambda r: r["sec"])
     ordered["walls_sec"] = [r["sec"] for r in oruns]
     queries["streaming_ordered"] = ordered["sec"]
+    dryrun = run_dryrun_route(spark)
 
     result = {
         "metric": "end-to-end bench seconds (batch operator suite + "
@@ -273,6 +304,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": stream,
         "streaming_ordered": ordered,
+        "dryrun_route": dryrun,
         "cpus": cpus,
     }
 
