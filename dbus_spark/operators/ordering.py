@@ -137,8 +137,13 @@ def _advance_bucket(
     (emit, meta', pending')."""
     touched = pd.unique(new["conv_id"])
     on_pending = pending["conv_id"].isin(touched).to_numpy()
-    allp = pd.concat(
-        [pending[on_pending], new], ignore_index=True, copy=False
+    pt = pending[on_pending]
+    # skip concat with empty frames: besides the wasted work, pandas'
+    # empty/all-NA concat dtype semantics are changing underfoot
+    allp = (
+        new
+        if not len(pt)
+        else pd.concat([pt, new], ignore_index=True, copy=False)
     )
     allp = allp.sort_values(
         ["conv_id", "turn_idx"], kind="stable"
@@ -172,9 +177,13 @@ def _advance_bucket(
     meta = meta.reindex(meta.index.union(touched, sort=False))
     meta.loc[touched, "next_idx"] = (ni + emitted).astype("int64")
     meta.loc[touched, "deadline"] = np.int64(new_deadline)
-    pending = pd.concat(
-        [pending[~on_pending], rest], ignore_index=True, copy=False
-    )
+    pu = pending[~on_pending]
+    if not len(pu):
+        pending = rest.reset_index(drop=True)
+    elif not len(rest):
+        pending = pu.reset_index(drop=True)
+    else:
+        pending = pd.concat([pu, rest], ignore_index=True, copy=False)
     return emit, meta, pending
 
 
