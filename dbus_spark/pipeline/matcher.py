@@ -33,11 +33,14 @@ def exact_match(idents: list[str], col: str = IDENT_COL) -> Column:
 def wildcard_to_regex(pattern: str) -> str:
     """One dot-delimited topic pattern → anchored regex.
 
-    ``*`` matches exactly one segment (no dots), mirroring the
-    reference's per-segment compare (engine/matcher_v2_naive.go:73-90).
+    ``*`` matches exactly one segment (no dots) — including the EMPTY
+    segment, mirroring the reference's per-segment compare exactly
+    (engine/matcher_v2_naive.go:73-90: strings.Split + equality, so
+    "a..b" matches "a.*.b"). Found by the property test in
+    tests/test_matcher_property.py — `[^.]+` diverged on that edge.
     """
     parts = [
-        "[^.]+" if seg == "*" else re.escape(seg)
+        "[^.]*" if seg == "*" else re.escape(seg)
         for seg in pattern.split(".")
     ]
     return "^" + "\\.".join(parts) + "$"

@@ -156,16 +156,18 @@ def test_duplicate_plugin_name_raises():
 
 
 def test_wildcard_matcher_semantics(spark):
-    """matcher_v2: '*' matches exactly one dot segment."""
-    assert wildcard_to_regex("a.*.c") == "^a\\.[^.]+\\.c$"
+    """matcher_v2: '*' matches exactly one dot segment — including an
+    empty one, exactly like the reference's strings.Split + equality
+    compare (engine/matcher_v2_naive.go:73-90)."""
+    assert wildcard_to_regex("a.*.c") == "^a\\.[^.]*\\.c$"
     df = spark.createDataFrame(
-        [("a.b.c",), ("a.x.c",), ("a.b.b.c",), ("a.c",), ("z.b.c",)],
+        [("a.b.c",), ("a.x.c",), ("a.b.b.c",), ("a.c",), ("z.b.c",), ("a..c",)],
         ["ident"],
     )
     got = sorted(
         r[0] for r in df.filter(build_matcher(["a.*.c"])).collect()
     )
-    assert got == ["a.b.c", "a.x.c"]
+    assert got == ["a..c", "a.b.c", "a.x.c"]
     # exact patterns still work through build_matcher
     got2 = sorted(r[0] for r in df.filter(build_matcher(["a.c", "z.b.c"])).collect())
     assert got2 == ["a.c", "z.b.c"]
