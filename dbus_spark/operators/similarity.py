@@ -2,15 +2,27 @@
 
 Brute-force cosine top-k as the correctness baseline; random-hyperplane
 LSH bucketing as the scale path (bucket-join instead of the full cross
-product). The dot product / norms run as Catalyst higher-order
-functions (``aggregate``/``zip_with``) in the JVM — no Python in the
-hot path; at extreme dims swap in a vectorized pandas UDF, the plan
-shape stays identical.
+product). Pairwise dot products / norms in the verify stage run as
+Catalyst higher-order functions (``aggregate``/``zip_with``) in the
+JVM; the vector-vs-MANY-planes projections (SRP bucketing, IVF coarse
+quantization) run as one Arrow ``pandas_udf`` doing a numpy
+accumulation against the plane/centroid matrix — at production dims
+(768–1536) × dozens of planes, literal-array expression trees would
+make the PLAN itself the bottleneck (thousands of interpreted
+higher-order-fold nodes; no codegen inside HOF lambdas).
+
+FP-parity contract: the numpy path accumulates dimension-by-dimension
+(``_fold_dots``), which is bit-identical to Catalyst's sequential
+left-to-right double fold and to DuckDB's ``list_dot_product`` — so
+the seeded-literal oracle SQL sees the exact same signs/argmax and the
+value checks stay hash-exact. A plain ``V @ P.T`` (BLAS) uses blocked
+summation and could flip a sign at a bucket boundary.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -129,6 +141,29 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _fold_dots(V: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """<v, p> for every (row, plane) pair with LEFT-TO-RIGHT double
+    association: acc_{i+1} = acc_i + v_i * p_i, vectorized across the
+    whole (rows × planes) grid per dimension step. Bit-identical to
+    Catalyst's ``aggregate(zip_with(...), 0.0, acc + x)`` and DuckDB's
+    ``list_dot_product``, so sign/argmax decisions agree with the
+    literal-plane oracle SQL exactly. dim python-loop steps of one
+    (rows × planes) numpy FMA each — for batch 10k, 32 planes, dim
+    1536 that's ~1.5e9 flops in 1536 vector ops: plenty fast, and the
+    per-batch cost is O(rows·planes·dim) either way."""
+    acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc += V[:, i, None] * P[None, :, i]
+    return acc
+
+
+def _stack(vecs: pd.Series) -> np.ndarray:
+    # array<float> arrives as a Series of float32 numpy arrays; the
+    # cast to float64 is exact (widening), matching Catalyst's
+    # cast("array<double>") before its fold.
+    return np.stack(vecs.to_numpy()).astype(np.float64)
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -138,18 +173,22 @@ def lsh_bucket(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane (SRP) bucket id per vector: bit i = sign of
-    <v, plane_i>. Deterministic planes from the seed; computed as a
-    literal-array zip_with — map-side only."""
-    planes = _hyperplanes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(
-            dot(F.col(vec_col), plane_col) > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit
-    return df.withColumn(out_col, bucket)
+    <v, plane_i>. Deterministic planes from the seed; one Arrow
+    pandas_udf per batch against the (n_planes × dim) plane matrix —
+    map-side only, no shuffle, plan size independent of dim. The plane
+    matrix ships in the UDF closure (n_planes·dim doubles — ~400 KB at
+    32×1536; use an explicit SparkContext.broadcast above ~10 MB)."""
+    P = np.asarray(_hyperplanes(n_planes, dim, seed), dtype=np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def srp_bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        bits = (_fold_dots(_stack(vecs), P) > 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out_col, srp_bucket(F.col(vec_col)))
 
 
 def ivf_centroids(
@@ -166,13 +205,19 @@ def ivf_centroids(
 
 
 def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> Column:
-    """array of <v, c_i> per centroid — the coarse-quantizer scores."""
-    return F.array(
-        *[
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
+    """array of <v, c_i> per centroid — the coarse-quantizer scores.
+    One Arrow pandas_udf against the (n_centroids × dim) matrix; the
+    fold-exact accumulation keeps argmax/probe-order decisions
+    identical to the literal-centroid oracle SQL."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def cdots(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_fold_dots(_stack(vecs), C)))
+
+    return cdots(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def ivf_assign(
@@ -187,10 +232,16 @@ def ivf_assign(
     first index on ties) — map-side only, the IVF inverted-list key.
     At scale this is the partitioning column of the vector table."""
     cents = ivf_centroids(n_centroids, dim, seed)
-    dots = _centroid_dots(vec_col, cents)
-    return df.withColumn(
-        out_col,
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    # materialize the UDF result once; argmax reads the attribute twice
+    return (
+        df.withColumn("_cdots", _centroid_dots(vec_col, cents))
+        .withColumn(
+            out_col,
+            (
+                F.array_position(F.col("_cdots"), F.array_max("_cdots")) - 1
+            ).cast("int"),
+        )
+        .drop("_cdots")
     )
 
 
@@ -214,14 +265,18 @@ def knn_ivf(
     with n_probes instead of collapsing with bucket width."""
     cents = ivf_centroids(n_centroids, dim, seed)
     assigned = ivf_assign(df, dim, n_centroids, seed, vec_col)
-    dots = _centroid_dots(vec_col, cents)
     probes = (
         df.filter(F.col(id_col).isin(query_ids))
+        # materialize the UDF column BEFORE the generator: posexplode
+        # of a raw UDF expression makes InferFiltersFromGenerate
+        # synthesize a size()>0 filter that re-evaluates the UDF (the
+        # doc_minhash trap); exploding the attribute is evaluate-once
+        .withColumn("_cdots", _centroid_dots(vec_col, cents))
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
             norm(vec_col).alias("q_n"),
-            F.posexplode(dots).alias("cell", "cdot"),
+            F.posexplode("_cdots").alias("cell", "cdot"),
         )
         .withColumn(
             "prank",
@@ -277,26 +332,29 @@ def lsh_bucket_tables(
 
     Output: one (id, tbl, bucket) row per vector per table — the
     exploded candidate-key stream, vectors NOT carried (the shuffle
-    payload stays two ints + the id)."""
-    planes = _hyperplanes(n_tables * planes_per_table, dim, seed)
-    entries = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for i in range(planes_per_table):
-            p = planes[t * planes_per_table + i]
-            plane_col = F.array(*[F.lit(float(x)) for x in p])
-            bucket = bucket + F.when(
-                dot(F.col(vec_col), plane_col) > 0,
-                F.lit(1 << i).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        entries.append(
-            F.struct(
-                F.lit(t).cast("int").alias("tbl"), bucket.alias("bucket")
-            )
-        )
-    return df.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
-    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    payload stays two ints + the id). All n_tables·planes_per_table
+    projections happen in ONE Arrow pandas_udf against the stacked
+    plane matrix (fold-exact, see module docstring) — plan size is
+    independent of dim and table count."""
+    P = np.asarray(
+        _hyperplanes(n_tables * planes_per_table, dim, seed),
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def srp_table_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        bits = (_fold_dots(_stack(vecs), P) > 0).astype(np.int64)
+        buckets = bits.reshape(len(vecs), n_tables, planes_per_table) @ weights
+        return pd.Series(list(buckets))
+
+    return df.withColumn(
+        "_tb", srp_table_buckets(F.col(vec_col))
+    ).select(
+        F.col(id_col), F.posexplode("_tb").alias("tbl", "bucket")
+    )
 
 
 def neardup_pairs_lsh(
