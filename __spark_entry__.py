@@ -447,18 +447,20 @@ def _emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas decode plumbing with the deterministic fake decoder
-    # (no codec libs in container) → rows-only check
+    # (no codec libs in container); the md5-derived fixture is
+    # value-checked by a DuckDB oracle
     from dbus_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # size the partitioning to the data, not the core count: each
-    # partition spins a python worker for the decode UDF, so 32 workers
-    # for 500 rows is pure startup overhead (parquet metadata count is
-    # a cheap footer read; at real scale the scan already has enough
-    # splits and this clamps to defaultParallelism)
-    n = docs.count()
-    parts = max(1, min((n + 249) // 250, spark.sparkContext.defaultParallelism))
-    docs = docs.repartition(parts)
+    # size the partitioning from the scan's split count, not a count()
+    # job: each partition spins a python worker for the decode UDF, so
+    # 32 workers for a one-split parquet is pure startup overhead. A
+    # small static boost covers tiny fixtures; at real scale the scan
+    # already has >= that many splits and this is a no-op.
+    scan_parts = docs.rdd.getNumPartitions()
+    parts = min(8, spark.sparkContext.defaultParallelism)
+    if parts > scan_parts:
+        docs = docs.repartition(parts)
     media = MM.attach_fake_media(docs)
     feats = MM.extract_media_features(media)
     return feats.select(
@@ -921,5 +923,19 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _neardup_lsh_oracle(),
         "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
-        # multimodal_features: rows-only (codecs stubbed, see queries())
+        "multimodal_features": (
+            # the fake-media fixture is md5-derived end to end
+            # (multimodal.py attach_fake_media + fake_decoder):
+            # content = unhex(repeat(md5(doc_id), 16)), and the decoder
+            # hashes the content's HEX text — which is exactly that
+            # repeated string — so f0 = byte0(md5(hex)) / 255. Rounding
+            # parity (float32 .round(4) then F.round vs ROUND) was
+            # verified exhaustively over all 256 byte values.
+            "WITH f AS (SELECT doc_id, "
+            "  repeat(md5(CAST(doc_id AS VARCHAR)), 16) AS hexc "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(len(hexc) // 2 AS INT) AS n_bytes, "
+            "ROUND(('0x' || substr(md5(hexc), 1, 2))::INT / 255.0, 4) AS f0 "
+            "FROM f"
+        ),
     }

@@ -68,9 +68,12 @@ def attach_fake_media(
 
 def fake_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
     """Deterministic stand-in for image decode + feature extraction:
-    features = normalized bytes of md5(content) — stable across runs,
-    shaped like a real embedding head's output."""
-    h = hashlib.md5(content).digest()
+    features = normalized digest bytes of md5 over the content's hex
+    text — stable across runs, shaped like a real embedding head's
+    output. Hashing the hex TEXT (not the raw bytes) keeps the fixture
+    reproducible in engines whose md5 only accepts strings (DuckDB), so
+    the driver oracle can value-check this path exactly."""
+    h = hashlib.md5(content.hex().encode("ascii")).digest()
     raw = np.frombuffer((h * ((n_features // 16) + 1))[:n_features], np.uint8)
     return (raw.astype(np.float32) / 255.0).round(4)
 
