@@ -32,6 +32,28 @@ before the sweep (data supersedes timeout, as in Spark itself). At
 10^12-turn scale the state volume is identical to per-conv keying;
 only the key count (and with it the per-key overhead and state-store
 row count) shrinks.
+
+Sizing rule (the blob bound). Each micro-batch rewrites the whole blob
+of every touched bucket, so the blob must stay small and its size is a
+first-class knob, not an accident:
+
+- ``n_buckets`` ≈ ``expected_active_conversations / 10_000`` (per-conv
+  meta is two int64s + the id, so ~10k convs/bucket keeps the meta
+  frame ~1 MB), clamped below by the wanted parallelism (buckets are
+  the unit of task scheduling) and above by the point where per-key
+  machinery (~1.5 ms/key/batch, measured) dominates again. 64 fits
+  this sandbox's fixtures; a 10^8-active-conversation deployment wants
+  ~10^4 buckets.
+- ``max_pending_per_bucket`` hard-caps the out-of-order buffer, the
+  only unbounded part of the blob (a flood of rows behind a gap that
+  never closes). When a batch leaves a bucket over the cap, whole
+  conversations are force-flushed in oldest-deadline-first order —
+  exactly the deadline-expiry path, just early — until under the cap.
+  Worst-case blob = meta (bounded by convs/bucket) +
+  ``max_pending_per_bucket`` row payloads, regardless of input
+  adversity; every row is still emitted exactly once, and a
+  force-flushed conversation merely loses its remaining grace window
+  (its buffered suffix emits in index order, as on deadline).
 """
 
 from __future__ import annotations
@@ -88,11 +110,15 @@ def dedup_within_watermark(
 
 # --- bucket state (de)serialization ------------------------------------
 #
-# One binary state cell per bucket: pickle of (meta, pending) where
-# meta is a DataFrame indexed by conv_id with int64 columns
-# (next_idx, deadline) and pending is a DataFrame[conv_id, *_COLS] of
-# out-of-order rows. pickle-5 of columnar frames is ~20x cheaper than
-# the per-conv JSON round-trip it replaces.
+# One binary state cell per bucket holding (meta, pending): meta is a
+# frame indexed by conv_id with int64 columns (next_idx, deadline),
+# pending a frame [conv_id, *_COLS] of out-of-order rows. The wire
+# format is pickle-5 of PLAIN NUMPY ARRAYS (ids, int64 columns,
+# datetime64 ts, object strings) — ~20x cheaper than a per-conv JSON
+# round-trip, and version-stable: numpy's array pickle format is a
+# stable public contract, unlike pickled pandas objects whose internals
+# shift between pandas releases (a checkpoint must outlive library
+# upgrades). Frames are rebuilt from the arrays on load.
 
 
 def _empty_meta() -> pd.DataFrame:
@@ -117,11 +143,21 @@ def _empty_pending() -> pd.DataFrame:
 
 def _load(state) -> tuple[pd.DataFrame, pd.DataFrame]:
     (blob,) = state.get
-    return pickle.loads(bytes(blob))
+    ids, ni, dl, pend = pickle.loads(bytes(blob))
+    meta = pd.DataFrame(
+        {"next_idx": ni, "deadline": dl}, index=pd.Index(ids, dtype=object)
+    )
+    return meta, pd.DataFrame(pend)
 
 
 def _save(state, meta: pd.DataFrame, pending: pd.DataFrame) -> None:
-    state.update((pickle.dumps((meta, pending), protocol=5),))
+    payload = (
+        meta.index.to_numpy(dtype=object),
+        meta["next_idx"].to_numpy("int64"),
+        meta["deadline"].to_numpy("int64"),
+        {c: pending[c].to_numpy() for c in pending.columns},
+    )
+    state.update((pickle.dumps(payload, protocol=5),))
 
 
 def _advance_bucket(
@@ -204,7 +240,33 @@ def _flush_expired(
     return emit, meta.drop(index=expired), pending[~on_expired]
 
 
-def _make_bucket_fn(timeout_ms: int):
+def _force_flush(
+    meta: pd.DataFrame, pending: pd.DataFrame, cap: int
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Bound the bucket blob: if pending exceeds ``cap`` rows, flush
+    whole conversations early — oldest deadline first, minimal prefix
+    that brings the buffer under the cap — with deadline-expiry
+    semantics (emit buffered suffix in index order, forget the
+    conversation). Returns (emit, meta', pending')."""
+    if len(pending) <= cap:
+        return pending.iloc[0:0], meta, pending
+    sizes = pending["conv_id"].value_counts()
+    dl = meta["deadline"].reindex(sizes.index, fill_value=np.int64(-1))
+    order = dl.sort_values(kind="stable").index
+    csum = sizes.reindex(order).to_numpy().cumsum()
+    need = len(pending) - cap
+    k = int(np.searchsorted(csum, need)) + 1
+    victims = order[:k]
+    on_v = pending["conv_id"].isin(victims).to_numpy()
+    emit = pending[on_v].sort_values(["conv_id", "turn_idx"], kind="stable")
+    return (
+        emit,
+        meta.drop(index=meta.index.intersection(victims)),
+        pending[~on_v],
+    )
+
+
+def _make_bucket_fn(timeout_ms: int, max_pending: int = 100_000):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state
     ) -> Iterable[pd.DataFrame]:
@@ -243,6 +305,9 @@ def _make_bucket_fn(timeout_ms: int):
         flushed, meta, pending = _flush_expired(meta, pending, wm)
         if len(flushed):
             emits.append(flushed)
+        forced, meta, pending = _force_flush(meta, pending, max_pending)
+        if len(forced):
+            emits.append(forced)
         if len(meta):
             _save(state, meta, pending)
             state.setTimeoutTimestamp(max(int(meta["deadline"].min()), wm + 1))
@@ -259,6 +324,7 @@ def ordered_turns_stream(
     watermark: str = "10 minutes",
     flush_after_ms: int = 60_000,
     n_buckets: int = 64,
+    max_pending_per_bucket: int = 100_000,
 ) -> DataFrame:
     """Streaming ordered+deduped turn stream (per-turn text equality).
 
@@ -267,10 +333,14 @@ def ordered_turns_stream(
     conversation's flush deadline (last activity + grace) any
     still-buffered out-of-order suffix is flushed in index order.
 
-    ``n_buckets`` is the key-coarsening factor (see module docstring);
-    it must stay constant across restarts of one checkpoint, like any
+    ``n_buckets`` is the key-coarsening factor and
+    ``max_pending_per_bucket`` the out-of-order buffer cap — together
+    they bound every state blob (sizing rule in the module docstring).
+    Both must stay constant across restarts of one checkpoint, like any
     stateful operator's grouping. Output rows are identical for any
-    value; only scheduling granularity changes.
+    ``n_buckets``; the cap only changes WHEN a flooded conversation's
+    buffered suffix emits (early instead of at its deadline), never
+    whether rows emit.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -282,7 +352,7 @@ def ordered_turns_stream(
         bucketed.withWatermark("ts", watermark)
         .groupBy("_bkt")
         .applyInPandasWithState(
-            _make_bucket_fn(flush_after_ms),
+            _make_bucket_fn(flush_after_ms, max_pending_per_bucket),
             outputStructType=OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

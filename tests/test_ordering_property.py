@@ -117,3 +117,102 @@ def test_any_arrival_order_emits_exactly_once_in_order(convs, data):
         assert sorted(g["turn_idx"]) == list(range(n))
         # per-turn text equality
         assert (g["text"] == g["turn_idx"].map(lambda i: f"{conv}-t{i}")).all()
+
+
+# --- bounded bucket state (_force_flush) --------------------------------
+
+from dbus_spark.operators.ordering import _force_flush  # noqa: E402
+
+
+def test_force_flush_noop_under_cap():
+    meta, pending = _empty_meta(), _empty_pending()
+    new = _mk_rows("a", [5, 6])  # gap at 0 -> all pending
+    _, meta, pending = _advance_bucket(meta, pending, new, 60_000)
+    emit, meta2, pending2 = _force_flush(meta, pending, cap=10)
+    assert len(emit) == 0
+    pd.testing.assert_frame_equal(pending, pending2)
+
+
+def test_force_flush_evicts_oldest_deadline_first():
+    meta, pending = _empty_meta(), _empty_pending()
+    # conv a: old deadline, 3 buffered; conv b: newer deadline, 4 buffered
+    _, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("a", [2, 3, 4]), 1_000
+    )
+    _, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("b", [5, 6, 7, 8]), 9_000
+    )
+    assert len(pending) == 7
+    # need to shed 2 rows -> oldest (a, 3 rows) is the minimal prefix
+    emit, meta, pending = _force_flush(meta, pending, cap=5)
+    assert list(emit["conv_id"].unique()) == ["a"]
+    assert list(emit["turn_idx"]) == [2, 3, 4]  # suffix in index order
+    assert "a" not in meta.index and len(pending) == 4
+
+
+def test_force_flush_single_hot_conversation_bounded():
+    """A single conversation flooding rows behind a never-closing gap
+    cannot grow the blob past the cap: the whole conversation flushes."""
+    meta, pending = _empty_meta(), _empty_pending()
+    _, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("hot", list(range(1, 1001))), 60_000
+    )
+    assert len(pending) == 1000
+    emit, meta, pending = _force_flush(meta, pending, cap=100)
+    assert len(emit) == 1000 and len(pending) == 0
+    assert list(emit["turn_idx"]) == list(range(1, 1001))
+    assert len(meta) == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(convs=convs_strategy, data=st.data(), cap=st.integers(1, 8))
+def test_capped_stream_still_emits_exactly_once(convs, data, cap):
+    """With the pending cap enforced after every batch (unique arrivals,
+    as redelivery-after-forget re-emits by design on ANY forget path,
+    deadline or forced), every turn still emits exactly once and the
+    buffer never exceeds the cap between batches."""
+    rows = []
+    for conv, n in convs.items():
+        order = data.draw(st.permutations(list(range(n))), label=f"o-{conv}")
+        rows.extend((conv, i) for i in order)
+    arrival = data.draw(st.permutations(rows), label="arrival")
+    n_batches = data.draw(st.integers(1, 4), label="n_batches")
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(arrival)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            ),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(arrival)]:
+        batches.append(arrival[prev:c])
+        prev = c
+
+    meta, pending = _empty_meta(), _empty_pending()
+    emitted = []
+    for batch in batches:
+        if not batch:
+            continue
+        new = pd.concat(
+            [_mk_rows(c, [i]) for (c, i) in batch], ignore_index=True
+        )
+        emit, meta, pending = _advance_bucket(meta, pending, new, 60_000)
+        if len(emit):
+            emitted.append(emit)
+        forced, meta, pending = _force_flush(meta, pending, cap)
+        if len(forced):
+            emitted.append(forced)
+        assert len(pending) <= cap  # the blob bound
+    flushed, meta, pending = _flush_expired(meta, pending, 120_000)
+    if len(flushed):
+        emitted.append(flushed)
+
+    got = (
+        pd.concat(emitted, ignore_index=True) if emitted else _empty_pending()
+    )
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert len(got) == sum(convs.values())

@@ -375,6 +375,62 @@ def test_ordered_stream_hot_conversation_skew(spark, tmp_path):
     pd.testing.assert_series_equal(g["text"], exp["text"], check_names=False)
 
 
+def test_ordered_stream_flood_cannot_grow_bucket_blob(spark, tmp_path):
+    """A hot-conversation flood behind a never-closing gap (turn 0
+    withheld) must not grow one bucket's state blob unboundedly: the
+    pending cap force-flushes the conversation early with deadline
+    semantics. Every flooded row still emits exactly once, in index
+    order within each emission."""
+    n_flood = 400
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    flood = pd.DataFrame(
+        {
+            "conv_id": "floodconv",
+            "turn_idx": pd.array(range(1, n_flood + 1), dtype="int32"),
+            "role": "user",
+            "text": [f"flood-t{i}" for i in range(1, n_flood + 1)],
+            "tool": pd.array([None] * n_flood, dtype="string"),
+            "ts": [ts0 + pd.Timedelta(seconds=i) for i in range(n_flood)],
+        }
+    )
+    flood["ts"] = flood["ts"].astype("datetime64[us]")
+    flood["_arrival"] = range(n_flood)
+    in_dir = tmp_path / "in"
+    write_stream_batches(flood, str(in_dir), n_files=4)
+    far = flood["ts"].max() + pd.Timedelta(hours=2)
+    _sentinel(far).to_parquet(in_dir / "batch-90000.parquet", index=False)
+    _sentinel(far + pd.Timedelta(minutes=1)).to_parquet(
+        in_dir / "batch-90001.parquet", index=False
+    )
+    src = transcript_file_stream(spark, str(in_dir), 1)
+    ordered = ordered_turns_stream(
+        src,
+        watermark="10 minutes",
+        flush_after_ms=1_000,
+        n_buckets=4,
+        max_pending_per_bucket=100,  # << n_flood: forces mid-stream spills
+    )
+    coll = []
+    q = (
+        ordered.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda d, b: coll.append(d.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    got = pd.concat(coll, ignore_index=True)
+    got = got[got["conv_id"] != "zzz_sentinel"]
+    # exactly once, all 400 rows, each emission chunk in index order
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert len(got) == n_flood
+    assert set(got["turn_idx"]) == set(range(1, n_flood + 1))
+    # spilled early: emissions happened across multiple batches, not
+    # one deadline mega-flush (the blob never held all 400 rows)
+    assert sum(len(c) > 0 for c in coll) >= 2
+
+
 def test_streaming_doc_ingest_quality_dedup(spark, tmp_path):
     """Composite training-data ingest, streaming form: documents
     pushed through the drop zone → Arrow-vectorized quality scoring →
