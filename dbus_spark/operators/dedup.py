@@ -15,10 +15,22 @@ pipeline needs the full ladder:
 - SimHash: 32-bit sketch via bit-vote aggregation, hamming-adjacent
   buckets as the candidate filter.
 
-All hashes derive from md5 hex (first 8 hex chars → int), chosen for
-cross-engine reproducibility (same value in DuckDB:
-``('0x'||substr(md5(s),1,8))::BIGINT``), not speed; swap for
-xxhash64 when oracle parity is not required.
+Every sketch operator takes ``hash_fn``:
+
+- ``"md5"`` (default): first 8 md5-hex chars → int. Chosen for
+  cross-engine reproducibility (same value in DuckDB:
+  ``('0x'||substr(md5(s),1,8))::BIGINT``) — the oracle-parity mode the
+  driver correctness gate pins.
+- ``"xxhash64"``: Spark's codegen'd non-cryptographic hash folded into
+  the same [0, 2^32) range — the production mode: at 100 TB the
+  per-shingle md5 is the dominant sketch CPU and buys nothing (dedup
+  needs uniformity, not collision resistance). Bucket assignments
+  differ between modes (different hash, different permutation), but
+  the verified near-dup answer is the same — pinned by an equivalence
+  test that verifies both modes' candidates against exact similarity.
+
+``ngram_jaccard_pairs`` has no hash at all (it joins raw shingles), so
+it takes no knob.
 """
 
 from __future__ import annotations
@@ -29,9 +41,15 @@ from pyspark.sql import functions as F
 from dbus_spark.operators.text import fingerprint, tokens
 
 
-def _h32(c: Column) -> Column:
-    """Deterministic 32-bit hash reproducible in ANSI SQL."""
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+def _h32(c: Column, hash_fn: str = "md5") -> Column:
+    """Deterministic hash into [0, 2^32): md5-derived (reproducible in
+    ANSI SQL, the oracle mode) or xxhash64-derived (codegen'd JVM hash,
+    the production mode — several-fold cheaper per shingle)."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(1 << 32)).cast("long")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
 def exact_dedup_groups(
@@ -155,6 +173,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     character ``k``-gram of the normalized text (the rolling hash —
@@ -183,7 +202,7 @@ def winnow_fingerprints(
             F.length(t) >= k,
             F.sequence(F.lit(1), F.length(t) - k + 1),
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(idx, lambda i: _h32(t.substr(i, F.lit(k))))
+        return F.transform(idx, lambda i: _h32(t.substr(i, F.lit(k)), hash_fn))
 
     def _window_mins(hs: Column) -> Column:
         idx = F.when(
@@ -205,12 +224,13 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_bits: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose sketches share the top
     ``prefix_bits`` bits land in one bucket and pair up — the cheap
     hamming-prefix filter (full hamming-distance verify happens on the
     tiny candidate set downstream). Bucket-join shuffle only."""
-    sk = simhash(df, id_col, text_col).withColumn(
+    sk = simhash(df, id_col, text_col, hash_fn=hash_fn).withColumn(
         "bucket", F.shiftright("simhash", 32 - prefix_bits)
     )
     a, b = sk.alias("a"), sk.alias("b")
@@ -231,6 +251,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     prefix_bits: int = 16,
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-duplicates, candidate + verify: prefix-bucket
     candidates (the cheap filter of ``simhash_candidate_pairs``) pass
@@ -241,7 +262,7 @@ def simhash_neardup_pairs(
     prefix table as the (documented) recall trade-off: rotations/
     multi-prefix tables extend it the same way the SRP multi-table
     construction does in similarity.py."""
-    sk = simhash(df, id_col, text_col).withColumn(
+    sk = simhash(df, id_col, text_col, hash_fn=hash_fn).withColumn(
         "bucket", F.shiftright("simhash", 32 - prefix_bits)
     )
     a, b = sk.alias("a"), sk.alias("b")
@@ -284,6 +305,7 @@ def minhash_signature(
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of
     (h32(shingle) % p * a_i + b_i) % p. One md5 per shingle total;
@@ -294,7 +316,7 @@ def minhash_signature(
         F.col(id_col),
         F.transform(
             word_shingles(text_col, shingle_n),
-            lambda s: _h32(s) % F.lit(MINHASH_P),
+            lambda s: _h32(s, hash_fn) % F.lit(MINHASH_P),
         ).alias("_hs"),
     )
     def _perm(a: int, b: int):
@@ -318,12 +340,13 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: split the signature into bands,
     bucket-join on (band_idx, band values). Shuffle volume is
     |docs|·n_bands, and only same-bucket docs ever meet."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, hash_fn)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -357,13 +380,14 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bits: int = 32,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash sketch: bit j is the sign of the ±1 vote over all token
     hashes' j-th bits (token multiset, not distinct — classic SimHash).
     Single pass over the token array per row, no shuffle."""
     toks = tokens(text_col)
     # hash each token once, then fold the ±1 bit votes
-    hashes = F.transform(toks, lambda t: _h32(t))
+    hashes = F.transform(toks, lambda t: _h32(t, hash_fn))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), n_bits),
