@@ -445,6 +445,23 @@ def _emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb, query_ids=[0, 1, 2, 3, 4], dim=64, k=3)
 
 
+def _emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF with a TRAINED coarse quantizer: spherical k-means runs as a
+    # Spark job on the same table (one scan per iteration, partial-sum
+    # combine — scalars to the driver), then feeds knn_ivf. The
+    # 6-decimal rounding protocol makes the trained centroids identical
+    # to the numpy replica the oracle inlines (similarity.py docstring).
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, dim=64, n_centroids=16, seed=11, n_iter=5)
+    return S.knn_ivf(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        query_ids=[0, 1, 2, 3, 4],
+        dim=64,
+        k=3,
+        centroids=cents,
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas decode plumbing with the deterministic fake decoder
     # (no codec libs in container); the md5-derived fixture is
@@ -505,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_groups": _emb_neardup_groups,
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
+        "emb_knn_ivf_trained": _emb_knn_ivf_trained,
         "multimodal_features": _multimodal_features,
     }
 
@@ -640,11 +658,15 @@ def _neardup_groups_oracle(threshold: float = 0.4) -> str:
 
 
 def _knn_ivf_oracle(
-    n_centroids: int = 16, n_probes: int = 4, k: int = 3
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    k: int = 3,
+    cents: list[list[float]] | None = None,
 ) -> str:
     from dbus_spark.operators.similarity import ivf_centroids
 
-    cents = ivf_centroids(n_centroids, 64, seed=11)
+    if cents is None:
+        cents = ivf_centroids(n_centroids, 64, seed=11)
     dots = ", ".join(
         "list_dot_product(embedding::DOUBLE[], [{c}]::DOUBLE[])".format(
             c=", ".join(repr(float(x)) for x in cent)
@@ -673,6 +695,25 @@ def _knn_ivf_oracle(
         "  (PARTITION BY q_id ORDER BY s DESC, n_id ASC) AS rank FROM scored) "
         f"SELECT q_id, n_id, rank, ROUND(s, 4) AS sim FROM r WHERE rank <= {k}"
     )
+
+
+def _knn_ivf_trained_oracle() -> str:
+    """Oracle for the trained-IVF query: centroids come from the numpy
+    replica of the Spark k-means (bit-identical by the 6-decimal
+    rounding protocol), trained on the sf0.01 table the driver's
+    correctness gate compares at."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.similarity import kmeans_centroids_local
+
+    V = np.stack(
+        pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")[
+            "embedding"
+        ].to_numpy()
+    )
+    cents = kmeans_centroids_local(V, n_centroids=16, seed=11, n_iter=5)
+    return _knn_ivf_oracle(cents=cents)
 
 
 _LANG_SCORES = """
@@ -923,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _neardup_lsh_oracle(),
         "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
+        "emb_knn_ivf_trained": _knn_ivf_trained_oracle(),
         "multimodal_features": (
             # the fake-media fixture is md5-derived end to end
             # (multimodal.py attach_fake_media + fake_decoder):

@@ -195,13 +195,130 @@ def ivf_centroids(
     n_centroids: int, dim: int, seed: int = 11
 ) -> list[list[float]]:
     """Deterministic unit-norm 'centroids' from the seed — the IVF
-    coarse quantizer. On a real corpus these come from a k-means pass
-    (itself a Spark job); the assignment/probe machinery below is
+    coarse quantizer stand-in AND the k-means init. Train real ones
+    with :func:`kmeans_centroids` (a Spark job) and pass them via the
+    ``centroids`` parameter; the assignment/probe machinery is
     identical either way, and seeding keeps the oracle reproducible."""
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_centroids, dim))
     c = c / np.linalg.norm(c, axis=1, keepdims=True)
     return c.tolist()
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 11,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) over the embedding table — the
+    training pass that turns the seeded IVF stand-ins into real
+    coarse-quantizer centroids. Each iteration is ONE distributed scan:
+    ``mapInPandas`` assigns every vector to its max-dot centroid and
+    emits per-partition partial (sum, count) per cell — k·dim doubles
+    per partition, so the driver combine handles scalars-sized data
+    regardless of corpus size (the same rounds-only driver discipline
+    as ``neardup_groups``). New centroid = unit-normalized mean of its
+    cell, empty cells keep their previous centroid.
+
+    Determinism/oracle contract: centroids are ROUNDED to 6 decimals
+    after every iteration (including the seeded init), so the values
+    are exact decimal literals. Assignments use the fold-exact dots
+    against those rounded literals, and the ~1e-12 summation-order
+    wobble between this distributed combine and the single-pass numpy
+    replica (:func:`kmeans_centroids_local`) is quashed by the
+    rounding — the two trainers produce identical centroids, which is
+    what lets the DuckDB oracle inline them."""
+    C = np.round(
+        np.asarray(ivf_centroids(n_centroids, dim, seed), dtype=np.float64), 6
+    )
+    for _ in range(n_iter):
+        C_cur = C.copy()
+
+        def partials(it):
+            sums = np.zeros((n_centroids, dim), dtype=np.float64)
+            cnts = np.zeros(n_centroids, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _stack(pdf[vec_col])
+                cells = np.argmax(_fold_dots(V, C_cur), axis=1)
+                for c in np.unique(cells):
+                    m = cells == c
+                    sums[c] += V[m].sum(axis=0)
+                    cnts[c] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(n_centroids, dtype=np.int32),
+                    "n": cnts,
+                    "s": list(sums),
+                }
+            )
+
+        part = df.select(vec_col).mapInPandas(
+            partials, schema="cell int, n long, s array<double>"
+        ).toPandas()
+        # combine in (partition, cell) order — toPandas preserves
+        # partition order, so the fold is deterministic per input
+        for c in range(n_centroids):
+            rows = part[part["cell"] == c]
+            n = int(rows["n"].sum())
+            if n == 0:
+                continue
+            v = np.sum(np.stack(rows["s"].to_numpy()), axis=0) / n
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                v = v / nv
+            C[c] = np.round(v, 6)
+    return C.tolist()
+
+
+def kmeans_centroids_local(
+    V: np.ndarray,
+    n_centroids: int = 16,
+    seed: int = 11,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Single-process numpy replica of :func:`kmeans_centroids` — used
+    by the DuckDB oracle generator (which has no SparkSession) and by
+    equivalence tests. Identical math: same seeded init, fold-exact
+    assignment dots, unit-normalized means, 6-decimal rounding per
+    iteration."""
+    dim = V.shape[1]
+    V = V.astype(np.float64)
+    C = np.round(
+        np.asarray(ivf_centroids(n_centroids, dim, seed), dtype=np.float64), 6
+    )
+    for _ in range(n_iter):
+        cells = np.argmax(_fold_dots(V, C), axis=1)
+        for c in range(n_centroids):
+            m = cells == c
+            if not m.any():
+                continue
+            v = V[m].sum(axis=0) / int(m.sum())
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                v = v / nv
+            C[c] = np.round(v, 6)
+    return C.tolist()
+
+
+def save_centroids(centroids: list[list[float]], path: str) -> None:
+    """Persist trained centroids as exact decimal text (json of repr
+    floats round-trips bit-exactly — 6-dp decimals by construction)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(centroids, f)
+
+
+def load_centroids(path: str) -> list[list[float]]:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
 
 
 def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> Column:
@@ -227,11 +344,16 @@ def ivf_assign(
     seed: int = 11,
     vec_col: str = "embedding",
     out_col: str = "cell",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product,
     first index on ties) — map-side only, the IVF inverted-list key.
-    At scale this is the partitioning column of the vector table."""
-    cents = ivf_centroids(n_centroids, dim, seed)
+    At scale this is the partitioning column of the vector table.
+    ``centroids`` overrides the seeded stand-ins with a trained set
+    (:func:`kmeans_centroids`)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed
+    )
     # materialize the UDF result once; argmax reads the attribute twice
     return (
         df.withColumn("_cdots", _centroid_dots(vec_col, cents))
@@ -255,6 +377,7 @@ def knn_ivf(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors live in their nearest-centroid cell; a
     query probes its ``n_probes`` best cells and exact-scores only
@@ -262,9 +385,13 @@ def knn_ivf(
     the (tiny) probe side broadcasts — candidates are
     |docs|·n_probes/n_centroids in expectation, never O(n²).
     Complements SRP-LSH (`knn_lsh`): IVF recall degrades gracefully
-    with n_probes instead of collapsing with bucket width."""
-    cents = ivf_centroids(n_centroids, dim, seed)
-    assigned = ivf_assign(df, dim, n_centroids, seed, vec_col)
+    with n_probes instead of collapsing with bucket width.
+    ``centroids`` plugs in a trained coarse quantizer
+    (:func:`kmeans_centroids`); default is the seeded stand-ins."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed
+    )
+    assigned = ivf_assign(df, dim, n_centroids, seed, vec_col, centroids=cents)
     probes = (
         df.filter(F.col(id_col).isin(query_ids))
         # materialize the UDF column BEFORE the generator: posexplode

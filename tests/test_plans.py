@@ -104,6 +104,44 @@ def test_neardup_lsh_recall_vs_bruteforce(spark):
     assert len(approx) >= 0.5 * len(exact)  # recall floor at θ≈66°
 
 
+def test_trained_ivf_recall_at_least_seeded(spark):
+    """The k-means pass must buy recall: knn_ivf with trained centroids
+    recovers at least as much of the brute-force top-k as the seeded
+    stand-ins do (measured 0.60 vs 0.47 on the fixture)."""
+    import __spark_entry__ as em
+
+    def pairs(df):
+        return {(r.q_id, r.n_id) for r in df.collect()}
+
+    bf = pairs(em.queries()["emb_knn"](spark, SF_DIR))
+    seeded = pairs(em.queries()["emb_knn_ivf"](spark, SF_DIR))
+    trained = pairs(em.queries()["emb_knn_ivf_trained"](spark, SF_DIR))
+    assert len(trained & bf) >= len(seeded & bf)
+    assert len(trained & bf) >= 0.5 * len(bf)
+
+
+def test_kmeans_spark_matches_local_replica_and_roundtrips(spark, tmp_path):
+    """The distributed trainer and the numpy replica must produce
+    IDENTICAL centroids (the 6-decimal rounding protocol) — this is
+    what lets the DuckDB oracle inline trained centroids — and the
+    persisted form must reload bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cs = S.kmeans_centroids(emb, dim=64, n_centroids=16, seed=11, n_iter=5)
+    V = np.stack(
+        pd.read_parquet(f"{SF_DIR}/embeddings.parquet")["embedding"].to_numpy()
+    )
+    cl = S.kmeans_centroids_local(V, n_centroids=16, seed=11, n_iter=5)
+    assert cs == cl
+    p = str(tmp_path / "cents.json")
+    S.save_centroids(cs, p)
+    assert S.load_centroids(p) == cs
+
+
 def test_knn_ivf_probe_join_shape(spark):
     """IVF ANN: the probe side must broadcast and the candidate join
     must be on the cell key — never an all-pairs product."""
