@@ -36,7 +36,12 @@ def cmd_validate(args) -> int:
 
     try:
         p = Pipeline(load_config(args.config))
-    except (ValueError, KeyError, json.JSONDecodeError) as e:
+    except (
+        ValueError,  # includes json.JSONDecodeError
+        KeyError,
+        TypeError,  # wrong-typed config fields
+        OSError,  # missing/unreadable config file
+    ) as e:
         print(f"INVALID: {e}", file=sys.stderr)
         return 1
     kinds = {}

@@ -588,6 +588,7 @@ def neardup_groups(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -610,6 +611,22 @@ def neardup_groups(
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    else:
+        if changed:
+            # loop exhausted max_iter with labels still moving: a pair
+            # graph of diameter > max_iter (a long near-dup chain)
+            # would return split components — surface it instead of
+            # silently under-merging
+            import warnings
+
+            warnings.warn(
+                f"neardup_groups: min-label propagation did not "
+                f"converge in {max_iter} rounds ({changed} labels "
+                f"still changing); components may be split — raise "
+                f"max_iter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     # vectors in no edge are their own (singleton) group
     return (
         df.select(F.col(id_col))

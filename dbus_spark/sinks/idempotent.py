@@ -59,11 +59,19 @@ class IdempotentKeyedSink:
         dedup_mode: str = "anti_join",
         track_counts: bool = True,
         coalesce_output: int | None = None,
+        key_types: dict[str, str] | None = None,
     ):
         if dedup_mode not in ("anti_join", "epoch_overwrite"):
             raise ValueError(f"unknown dedup_mode: {dedup_mode}")
         self.path = path
         self.keys = keys or ["conv_id", "turn_idx"]
+        # spark types for the empty-sink read() schema, so the frame a
+        # consumer builds against BEFORE the first commit has the same
+        # column types as the one after it (default keys: conv_id
+        # string, turn_idx int once data exists)
+        self.key_types = key_types or (
+            {"conv_id": "string", "turn_idx": "int"} if keys is None else {}
+        )
         self.dedup_mode = dedup_mode
         # per-epoch row counts in the markers cost one extra job per
         # micro-batch (persist + count); turn off on latency-sensitive
@@ -146,10 +154,15 @@ class IdempotentKeyedSink:
     def read(self, spark: SparkSession) -> DataFrame:
         if not self._epoch_ids():
             # value types are unknowable before the first write; expose
-            # the configured key columns so downstream joins/selects on
-            # keys still resolve against an empty sink
+            # the configured key columns (typed via key_types, default
+            # string) so downstream joins/selects on keys resolve against
+            # an empty sink with the same types as a populated one
             return spark.createDataFrame(
-                [], schema=", ".join(f"{k} string" for k in self.keys)
+                [],
+                schema=", ".join(
+                    f"{k} {self.key_types.get(k, 'string')}"
+                    for k in self.keys
+                ),
             )
         return spark.read.option("basePath", self.data_path).parquet(
             self.data_path

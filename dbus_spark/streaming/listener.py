@@ -110,12 +110,18 @@ class MetricsListener(StreamingQueryListener):
             s = sorted(ms)
             return s[min(len(s) - 1, int(len(s) * 0.95))]
 
-        first = min(b.batch_id for b in data)
-        # warm p95 excludes the first batch of each run: batch 0 pays
-        # one-time costs (plan compile, python-worker pool fork, state
-        # store instantiation) that are amortized over a real stream's
-        # lifetime — report both so the cold path stays visible
-        warm = [b.duration_ms for b in data if b.batch_id != first]
+        # warm p95 excludes the first batch of EACH run (kill/resume
+        # restarts get a fresh run_id and pay cold costs again): plan
+        # compile, python-worker pool fork, state store instantiation
+        # are amortized over a real stream's lifetime — report both so
+        # the cold path stays visible
+        firsts = {}
+        for b in data:
+            if b.run_id not in firsts or b.batch_id < firsts[b.run_id]:
+                firsts[b.run_id] = b.batch_id
+        warm = [
+            b.duration_ms for b in data if b.batch_id != firsts[b.run_id]
+        ]
         total_rows = sum(b.input_rows for b in data)
         total_sec = sum(b.duration_ms for b in data) / 1000.0
         return {

@@ -67,3 +67,21 @@ def test_checkpoint_summary(spark, tmp_path, capsys):
     assert summary["batches"] >= 2
     assert summary["latest_committed"] == summary["latest_batch"]
     assert summary["uncommitted"] == []
+
+
+def test_validate_missing_file_reports_invalid(capsys):
+    from dbus_spark.cli import main
+
+    rc = main(["validate", "/nonexistent/pipeline.json"])
+    assert rc == 1
+    assert "INVALID" in capsys.readouterr().err
+
+
+def test_validate_wrong_typed_config_reports_invalid(tmp_path, capsys):
+    from dbus_spark.cli import main
+
+    p = tmp_path / "bad.json"
+    p.write_text('{"plugins": 42}')
+    rc = main(["validate", str(p)])
+    assert rc == 1
+    assert "INVALID" in capsys.readouterr().err

@@ -124,3 +124,23 @@ def test_empty_read_schema_from_keys(spark, tmp_path):
     empty = sink.read(spark)
     assert empty.columns == ["user_id", "window_start"]
     assert empty.count() == 0
+
+
+def test_empty_sink_read_schema_matches_populated_types(spark, tmp_path):
+    """read() on an empty sink must type the key columns the same as a
+    populated sink would, so consumers built before the first commit
+    (unions, typed joins) don't break when data arrives."""
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(str(tmp_path / "s"))
+    empty = sink.read(spark)
+    assert dict(empty.dtypes) == {"conv_id": "string", "turn_idx": "int"}
+    custom = IdempotentKeyedSink(
+        str(tmp_path / "s2"),
+        keys=["window_start", "conv_id"],
+        key_types={"window_start": "timestamp", "conv_id": "string"},
+    )
+    assert dict(custom.read(spark).dtypes) == {
+        "window_start": "timestamp",
+        "conv_id": "string",
+    }
