@@ -54,6 +54,7 @@ BATCH_QUERIES = [
     "emb_neardup_groups",
     "emb_knn_lsh",
     "emb_knn_ivf",
+    "emb_knn_ivf_trained",
     "multimodal_features",
 ]
 

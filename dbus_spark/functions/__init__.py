@@ -12,6 +12,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +82,90 @@ def encode_rows_event_avro() -> Column:
             F.unix_timestamp("ts").alias("ts"),
             F.col("rows"),
         )
+    )
+
+
+def _avro_zigzag(n: int) -> bytes:
+    """Avro zigzag varint (spec: binary encoding, int/long)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_bytes(b: bytes) -> bytes:
+    return _avro_zigzag(len(b)) + b
+
+
+def _avro_str(s: str) -> bytes:
+    return _avro_bytes(s.encode("utf-8"))
+
+
+def encode_rows_event_avro_binary() -> Column:
+    """Avro BINARY encode of the rows-event wire record — the schema
+    the reference declares (pkg/model/rowsevent_avro.go:9-56: record
+    RowsEvent {log string, pos int, db string, tbl string, dml string,
+    ts int, rows array<bytes>}), hand-rolled to the Avro spec because
+    neither the spark-avro jar nor an avro python package exists in
+    this sandbox (the reference's own Avro test is skipped for the
+    same class of reason). Each row of ``rows`` (an array of cell
+    strings here) rides as its compact-JSON bytes, matching the
+    reference's rows-as-opaque-bytes contract.
+
+    Arrow-batched pandas UDF; byte assembly is per-row by nature
+    (variable-length varint splicing). On a cluster with the
+    spark-avro jar prefer :func:`encode_rows_event_avro` (to_avro,
+    JVM-side); this function is the jar-free form and the golden
+    reference the tests pin."""
+    import json
+
+    @F.pandas_udf("binary")
+    def enc(
+        log: pd.Series,
+        pos: pd.Series,
+        db: pd.Series,
+        tbl: pd.Series,
+        dml: pd.Series,
+        ts: pd.Series,
+        rows: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for lg, p, d, t, m, s, rws in zip(
+            log, pos, db, tbl, dml, ts, rows
+        ):
+            buf = bytearray()
+            buf += _avro_str(lg)
+            buf += _avro_zigzag(int(p))
+            buf += _avro_str(d)
+            buf += _avro_str(t)
+            buf += _avro_str(m)
+            buf += _avro_zigzag(int(s))
+            items = [
+                json.dumps(list(r), separators=(",", ":")).encode("utf-8")
+                for r in rws
+            ]
+            if items:
+                buf += _avro_zigzag(len(items))
+                for it in items:
+                    buf += _avro_bytes(it)
+            buf += _avro_zigzag(0)  # array terminator block
+            out.append(bytes(buf))
+        return pd.Series(out, dtype=object)
+
+    return enc(
+        F.col("log"),
+        F.col("pos"),
+        F.col("db"),
+        F.col("tbl"),
+        F.col("dml"),
+        F.unix_timestamp("ts"),
+        F.col("rows"),
     )
 
 

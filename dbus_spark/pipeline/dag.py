@@ -324,6 +324,43 @@ def _idempotent_output(options: dict) -> Callable:
     return fn
 
 
+def _subprocess_output(options: dict) -> Callable:
+    """StreamOutput analog (reference README.md:120-125: pipe packets
+    to an external consumer process): rows stream to ``cmd``'s stdin
+    as JSON lines. ``toLocalIterator`` pulls one partition at a time,
+    so driver memory stays one-partition-bounded — but the pipe itself
+    is a single point by nature (the reference is a single-node engine,
+    so this is faithful). At cluster scale, fan the subprocess out
+    per-executor instead: ``df.foreachPartition`` spawning the command
+    on each worker, or land to parquet and let the consumer tail it."""
+    cmd = options["cmd"]  # e.g. ["cat"], ["gzip", "-c"], a consumer bin
+
+    def fn(df: DataFrame, name: str):
+        import subprocess
+
+        stdout_path = options.get("stdout")
+        out_f = open(stdout_path, "wb") if stdout_path else subprocess.DEVNULL
+        try:
+            proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=out_f)
+            n = 0
+            try:
+                for line in df.toJSON().toLocalIterator():
+                    proc.stdin.write(line.encode("utf-8") + b"\n")
+                    n += 1
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass  # consumer died mid-stream; surface its exit code
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"SubprocessOutput {name!r}: {cmd} exited {rc}")
+            return n
+        finally:
+            if stdout_path:
+                out_f.close()
+
+    return fn
+
+
 for _name, _factory in [
     ("MemoryInput", _memory_input),
     ("ParquetInput", _parquet_input),
@@ -344,6 +381,7 @@ for _name, _factory in [
     ("MemoryOutput", _memory_output),
     ("NoopOutput", _noop_output),
     ("ParquetOutput", _parquet_output),
+    ("SubprocessOutput", _subprocess_output),
 ]:
     register_plugin(_name, _factory)
 

@@ -171,3 +171,50 @@ def test_wildcard_matcher_semantics(spark):
     # exact patterns still work through build_matcher
     got2 = sorted(r[0] for r in df.filter(build_matcher(["a.c", "z.b.c"])).collect())
     assert got2 == ["a.c", "z.b.c"]
+
+
+def test_subprocess_output_pipes_json_lines(spark, tmp_path):
+    """StreamOutput analog: routed rows reach an external consumer
+    process as JSON lines (consumer here: cat > file)."""
+    import json
+
+    from dbus_spark.pipeline import Pipeline
+
+    out_file = tmp_path / "consumed.jsonl"
+    cfg = {
+        "plugins": [
+            {"name": "src", "class": "MemoryInput"},
+            {
+                "name": "pipe_out",
+                "class": "SubprocessOutput",
+                "match": ["src"],
+                "options": {"cmd": ["cat"], "stdout": str(out_file)},
+            },
+        ]
+    }
+    df = spark.range(5).selectExpr("id", "concat('p', id) AS payload")
+    res = Pipeline(cfg).run(spark, sources={"src": df})
+    assert res["pipe_out"] == 5
+    lines = [json.loads(x) for x in out_file.read_text().splitlines()]
+    assert sorted(r["payload"] for r in lines) == [f"p{i}" for i in range(5)]
+
+
+def test_subprocess_output_nonzero_exit_raises(spark):
+    from dbus_spark.pipeline import Pipeline
+
+    cfg = {
+        "plugins": [
+            {"name": "src", "class": "MemoryInput"},
+            {
+                "name": "bad",
+                "class": "SubprocessOutput",
+                "match": ["src"],
+                "options": {"cmd": ["false"]},
+            },
+        ]
+    }
+    df = spark.range(3)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="exited"):
+        Pipeline(cfg).run(spark, sources={"src": df})
