@@ -202,6 +202,31 @@ def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase attributes to the user's most recent
+    click at-or-before it (backward inexact match). Implemented as the
+    union-and-carry window plan — ONE shuffle on user_id, no join node,
+    no range-candidate blowup (operators/join.py::asof_join)."""
+    from dbus_spark.operators.join import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        ts="ts",
+        right_cols=["click_id"],
+        order_col="click_id",
+    )
+    return out.select("user_id", "purchase_id", "click_id")
+
+
 def _cdc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship DAG — multi-table binlog dispatch
     (etc/canal.cf: one CDC stream, per-table routing) — on the TPC-H-ish
@@ -498,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_user": _session_window_user,
         "session_roles": _session_roles,
         "interval_join": _interval_join,
+        "asof_attribution": _asof_attribution,
         "cdc_dispatch": _cdc_dispatch,
         "dim_enrich": _dim_enrich,
         "ordered_seq": _ordered_seq,
@@ -794,6 +820,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events c JOIN events p ON c.user_id = p.user_id "
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+        ),
+        "asof_attribution": (
+            # exact tie/ordering parity with asof_join's window plan:
+            # right rows (clicks) sort before left at equal ts (<=
+            # semantics); several same-ts clicks resolve to max click_id
+            "WITH u AS ("
+            "  SELECT user_id, ts, event_id AS click_id, "
+            "    NULL::BIGINT AS purchase_id, 0 AS is_l "
+            "  FROM events WHERE event_type = 'click' "
+            "  UNION ALL "
+            "  SELECT user_id, ts, NULL, event_id, 1 "
+            "  FROM events WHERE event_type = 'purchase'"
+            "), c AS ("
+            "  SELECT *, last_value(click_id IGNORE NULLS) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, is_l, click_id"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            "  ) AS attr FROM u"
+            ") SELECT user_id, purchase_id, attr AS click_id "
+            "FROM c WHERE is_l = 1"
         ),
         "cdc_dispatch": (
             "SELECT 'orders_src' AS ident, o_orderdate AS event_day, "

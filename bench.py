@@ -30,6 +30,7 @@ BATCH_QUERIES = [
     "session_window_user",
     "session_roles",
     "interval_join",
+    "asof_attribution",
     "cdc_dispatch",
     "dim_enrich",
     "ordered_seq",

@@ -49,3 +49,82 @@ def correlate_user_tool(
         "conv_id", "user_turn_idx", "tool_turn_idx", "tool",
         "user_ts", "tool_ts",
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """As-of join: every left row picks the single most recent right
+    row with ``right.ts <= left.ts`` within its ``by`` group (backward
+    inexact match — the market-data / attribution join Spark has no
+    built-in for).
+
+    Spark-first formulation: NOT a range join (whose candidate set is
+    every right row in the window, exploding with density) but the
+    union-and-carry trick — tag the two sides, union them, and let one
+    per-key window ``last(right_col, ignorenulls=True)`` carry the
+    latest right values forward onto each left row. ONE shuffle on
+    ``by`` total, state O(1) per row, no pair blowup at any density;
+    exactly the plan a 100 TB attribution join wants.
+
+    Ties: a right row at the identical timestamp IS visible to the left
+    row (<= semantics; right sorts before left at equal ts), and
+    several right rows at one timestamp resolve to the greatest
+    ``order_col`` — deterministic, and mirrored by the SQL oracle.
+
+    Output: every left row (count preserved) + the carried
+    ``right_cols`` (null when no right row precedes)."""
+    from pyspark.sql.window import Window
+
+    l_cols = [c for c in left.columns if c != by and c != ts]
+    # the right payload rides as ONE struct so every carried column
+    # comes atomically from the same right row (independent per-column
+    # last() could mix rows when right columns contain nulls)
+    rv_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in right_cols
+        )
+        + ">"
+    )
+    lt = left.select(
+        by,
+        ts,
+        *l_cols,
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(True).alias("_is_l"),
+        (
+            F.col(order_col) if order_col and order_col in left.columns
+            else F.lit(0).cast("long")
+        ).alias("_ord"),
+    )
+    rt = right.select(
+        by,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        F.struct(*right_cols).alias("_rv"),
+        F.lit(False).alias("_is_l"),
+        (F.col(order_col) if order_col else F.lit(0).cast("long")).alias(
+            "_ord"
+        ),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_is_l").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).withColumn(
+        "_rv", F.last("_rv", ignorenulls=True).over(w)
+    )
+    return carried.filter("_is_l").select(
+        by,
+        ts,
+        *l_cols,
+        *[F.col(f"_rv.{c}").alias(c) for c in right_cols],
+    )

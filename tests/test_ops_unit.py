@@ -344,3 +344,31 @@ def test_hash_fn_rejects_unknown_mode():
 
     with _pytest.raises(ValueError):
         _h32(_F.lit("x"), hash_fn="sha999")
+
+
+def test_asof_join_right_cols_come_from_one_row(spark):
+    """Multiple carried right columns must originate from the SAME
+    right row even when some right columns are null (the struct-carry
+    guarantee), and <= tie semantics hold."""
+    from dbus_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10, "L1"), ("u", 20, "L2"), ("u", 5, "L0")],
+        "k string, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        # at t=10: val=None but src='a' — a naive per-column last()
+        # would pair val=1 (from t=8) with src='a' (from t=10)
+        [("u", 8, 1, None), ("u", 10, None, "a"), ("u", 15, 3, "c")],
+        "k string, t long, val int, src string",
+    )
+    out = {
+        r.lbl: (r.val, r.src)
+        for r in asof_join(
+            left, right, by="k", ts="t", right_cols=["val", "src"],
+            order_col="t",
+        ).collect()
+    }
+    assert out["L0"] == (None, None)  # nothing at or before t=5
+    assert out["L1"] == (None, "a")  # t=10 row atomically (tie: <=)
+    assert out["L2"] == (3, "c")

@@ -189,3 +189,13 @@ def test_streaming_plan_has_watermark_and_state(spark, tmp_path):
     # streaming plans surface via the logical plan string
     s = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in s
+
+
+def test_asof_join_is_joinless_single_shuffle(spark):
+    """The as-of join must plan as union + window — NO join operator
+    (a range join's candidate set explodes with right-side density;
+    the carry formulation shuffles each row exactly once)."""
+    q = entrymod.queries()["asof_attribution"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/...
+    assert "Window" in plan
