@@ -512,6 +512,40 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video-style 1->N frame sampling under mapInPandas: every 4th
+    # 16-byte window of the payload becomes a frame row. The fake
+    # payload repeats the md5 digest, so each frame equals the digest
+    # bytes - fingerprinted (md5 of lowercase hex) for the value check.
+    from dbus_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = MM.attach_fake_media(docs)
+    frames = MM.sample_frames(media, every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.lower(F.hex("frame"))).alias("frame_fp"),
+    )
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # resize plumbing (stub codec: deterministic byte-slice 'resize' to
+    # width*height/64 bytes) - schema/batch path exercised end to end,
+    # output fingerprinted for the value check
+    from dbus_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = MM.attach_fake_media(docs)
+    resized = MM.resize_images(media, width=16, height=16)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.lower(F.hex("content"))).alias("content_fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "route_exact": _route_exact,
@@ -550,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_knn_ivf_trained": _emb_knn_ivf_trained,
         "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
     }
 
 
@@ -1010,6 +1046,21 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
         "emb_knn_ivf_trained": _knn_ivf_trained_oracle(),
+        "multimodal_frames": (
+            # content repeats the 16-byte md5 digest 16x, so every
+            # 16-byte-aligned frame IS the digest; frame_fp =
+            # md5(lowercase hex of frame) = md5(md5(doc_id))
+            "SELECT doc_id, CAST(4 * k AS INT) AS frame_idx, "
+            "md5(md5(CAST(doc_id AS VARCHAR))) AS frame_fp "
+            "FROM documents CROSS JOIN range(4) t(k)"
+        ),
+        "multimodal_resize": (
+            # byte-slice 'resize' to 16*16/64 = 4 bytes = first 8 hex
+            # chars of the doc's md5
+            "SELECT doc_id, 16 AS width, 16 AS height, "
+            "md5(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS content_fp "
+            "FROM documents"
+        ),
         "multimodal_features": (
             # the fake-media fixture is md5-derived end to end
             # (multimodal.py attach_fake_media + fake_decoder):

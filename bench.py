@@ -57,6 +57,8 @@ BATCH_QUERIES = [
     "emb_knn_ivf",
     "emb_knn_ivf_trained",
     "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
 ]
 
 STREAM_TURNS_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
