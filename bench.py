@@ -228,6 +228,95 @@ def run_ordered_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> dict:
+    """LLM training-data ingest, streaming form: document stream →
+    Arrow-vectorized quality/token/language enrichment → quality
+    filter → streaming exact-dedup on the normalized fingerprint
+    (dropDuplicatesWithinWatermark state) → exactly-once keyed sink.
+    The documents table is replicated to ``target_rows`` with fresh
+    ids, so the dedup state sees a high-duplicate stream (every
+    replica collapses onto one fingerprint) — the shape of a crawl
+    re-ingest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbus_spark.functions.vectorized import (
+        quality_score_v,
+        token_count_v,
+    )
+    from dbus_spark.operators.text import fingerprint
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_docs_")
+    try:
+        pdf = pd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        reps = max(1, target_rows // max(len(pdf), 1))
+        big = pd.concat(
+            [
+                pdf.assign(doc_id=pdf["doc_id"] + i * 10_000_000)
+                for i in range(reps)
+            ],
+            ignore_index=True,
+        )
+        base = pd.Timestamp("2026-01-01")
+        big["ts"] = (
+            base + pd.to_timedelta(np.arange(len(big)) % 3600, unit="s")
+        ).astype("datetime64[us]")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(big)), 8)):
+            big.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"batch-{i:05d}.parquet"), index=False
+            )
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        cleaned = (
+            src.withColumn("quality", quality_score_v(F.col("text")))
+            .withColumn("n_tokens", token_count_v(F.col("text")))
+            .filter("quality >= 0.3")
+            .withColumn("fp", fingerprint("text"))
+            # wider than the fixture's event-time span: dedup is global
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        sink = IdempotentKeyedSink(
+            os.path.join(work, "out"),
+            keys=["fp"],
+            dedup_mode="epoch_overwrite",
+            track_counts=False,
+            coalesce_output=4,
+        )
+        t0 = time.time()
+        q = (
+            cleaned.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        uniq = spark.read.parquet(
+            os.path.join(work, "out", "data")
+        ).count()
+        return {
+            "sec": round(wall, 3),
+            "rows": len(big),
+            "docs_per_sec": round(len(big) / wall, 1),
+            "unique_docs": uniq,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_dryrun_route(spark, n_rows: int = 50_000_000) -> dict:
     """The reference's headline memo is a no-work router loop —
     MockInput → ident match → blackhole at 1.9 M pkt/s (README.md:74).
@@ -297,6 +386,12 @@ def main() -> None:
     ordered = min(oruns, key=lambda r: r["sec"])
     ordered["walls_sec"] = [r["sec"] for r in oruns]
     queries["streaming_ordered"] = ordered["sec"]
+    druns = [
+        run_doc_ingest_streaming(spark, sf_dir) for _ in range(repeats)
+    ]
+    doc_ingest = min(druns, key=lambda r: r["sec"])
+    doc_ingest["walls_sec"] = [r["sec"] for r in druns]
+    queries["streaming_doc_ingest"] = doc_ingest["sec"]
     dryrun = run_dryrun_route(spark)
 
     result = {
@@ -308,6 +403,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": stream,
         "streaming_ordered": ordered,
+        "streaming_doc_ingest": doc_ingest,
         "dryrun_route": dryrun,
         "cpus": cpus,
     }
