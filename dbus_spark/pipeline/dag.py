@@ -327,36 +327,86 @@ def _idempotent_output(options: dict) -> Callable:
 def _subprocess_output(options: dict) -> Callable:
     """StreamOutput analog (reference README.md:120-125: pipe packets
     to an external consumer process): rows stream to ``cmd``'s stdin
-    as JSON lines. ``toLocalIterator`` pulls one partition at a time,
-    so driver memory stays one-partition-bounded — but the pipe itself
-    is a single point by nature (the reference is a single-node engine,
-    so this is faithful). At cluster scale, fan the subprocess out
-    per-executor instead: ``df.foreachPartition`` spawning the command
-    on each worker, or land to parquet and let the consumer tail it."""
+    as JSON lines (encoded JVM-side via ``toJSON`` — python only moves
+    bytes).
+
+    ``scope``:
+    - ``"driver"`` (default — faithful to the single-node reference):
+      one consumer process on the driver; ``toLocalIterator`` pulls one
+      partition at a time, so driver memory stays partition-bounded,
+      but the pipe is a single point.
+    - ``"executor"`` — the cluster form: one consumer process PER
+      PARTITION via ``foreachPartition``, each writing to
+      ``stdout_dir/part-<id>`` (the consumer binary must exist on every
+      worker). Throughput scales with executors; no driver data path.
+    """
     cmd = options["cmd"]  # e.g. ["cat"], ["gzip", "-c"], a consumer bin
+    scope = options.get("scope", "driver")
+    if scope not in ("driver", "executor"):
+        raise ValueError(f"SubprocessOutput scope must be driver|executor: {scope}")
+
+    def _pipe(lines, proc) -> int:
+        n = 0
+        try:
+            for line in lines:
+                proc.stdin.write(line.encode("utf-8") + b"\n")
+                n += 1
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass  # consumer died mid-stream; surface its exit code
+        return n
 
     def fn(df: DataFrame, name: str):
         import subprocess
 
-        stdout_path = options.get("stdout")
-        out_f = open(stdout_path, "wb") if stdout_path else subprocess.DEVNULL
-        try:
-            proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=out_f)
-            n = 0
+        if scope == "driver":
+            stdout_path = options.get("stdout")
+            out_f = (
+                open(stdout_path, "wb") if stdout_path else subprocess.DEVNULL
+            )
             try:
-                for line in df.toJSON().toLocalIterator():
-                    proc.stdin.write(line.encode("utf-8") + b"\n")
-                    n += 1
-                proc.stdin.close()
-            except BrokenPipeError:
-                pass  # consumer died mid-stream; surface its exit code
-            rc = proc.wait()
-            if rc != 0:
-                raise RuntimeError(f"SubprocessOutput {name!r}: {cmd} exited {rc}")
-            return n
-        finally:
-            if stdout_path:
-                out_f.close()
+                proc = subprocess.Popen(
+                    cmd, stdin=subprocess.PIPE, stdout=out_f
+                )
+                n = _pipe(df.toJSON().toLocalIterator(), proc)
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"SubprocessOutput {name!r}: {cmd} exited {rc}"
+                    )
+                return n
+            finally:
+                if stdout_path:
+                    out_f.close()
+
+        stdout_dir = options.get("stdout_dir")
+
+        def run_partition(lines):
+            import os
+            import subprocess as sp
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            out_f = (
+                open(os.path.join(stdout_dir, f"part-{pid:05d}"), "wb")
+                if stdout_dir
+                else sp.DEVNULL
+            )
+            try:
+                proc = sp.Popen(cmd, stdin=sp.PIPE, stdout=out_f)
+                _pipe(lines, proc)
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"SubprocessOutput partition {pid}: {cmd} exited {rc}"
+                    )
+            finally:
+                if stdout_dir:
+                    out_f.close()
+
+        df.toJSON().foreachPartition(run_partition)
+        return None  # counts live with the consumer in executor scope
 
     return fn
 

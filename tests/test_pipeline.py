@@ -218,3 +218,37 @@ def test_subprocess_output_nonzero_exit_raises(spark):
 
     with _pytest.raises(RuntimeError, match="exited"):
         Pipeline(cfg).run(spark, sources={"src": df})
+
+
+def test_subprocess_output_executor_scope(spark, tmp_path):
+    """The cluster form: one consumer process per partition on the
+    executors, no driver data path; union of the per-partition outputs
+    is the full row set."""
+    import json
+
+    from dbus_spark.pipeline import Pipeline
+
+    out_dir = tmp_path / "parts"
+    out_dir.mkdir()
+    cfg = {
+        "plugins": [
+            {"name": "src", "class": "MemoryInput"},
+            {
+                "name": "pipe_out",
+                "class": "SubprocessOutput",
+                "match": ["src"],
+                "options": {
+                    "cmd": ["cat"],
+                    "scope": "executor",
+                    "stdout_dir": str(out_dir),
+                },
+            },
+        ]
+    }
+    df = spark.range(0, 20, 1, 4).selectExpr("id", "concat('p', id) AS payload")
+    Pipeline(cfg).run(spark, sources={"src": df})
+    rows = []
+    for f in out_dir.iterdir():
+        rows += [json.loads(x) for x in f.read_text().splitlines()]
+    assert sorted(r["id"] for r in rows) == list(range(20))
+    assert len(list(out_dir.iterdir())) == 4  # one consumer per partition
