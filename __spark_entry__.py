@@ -410,6 +410,14 @@ def _doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(docs, prefix_bits=16, max_hamming=3)
 
 
+def _doc_simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pigeonhole-blocked tables: provably equal to the brute-force
+    # hamming-ball answer, so the oracle IS the brute force - the
+    # strongest check an approximate operator can get
+    docs = _docs(spark, sf_dir)
+    return D.simhash_neardup_pairs_blocked(docs, max_hamming=3)
+
+
 def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # max_df: document-frequency cut — the synthetic vocab is tiny, so
@@ -575,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_neardup": _doc_simhash_neardup,
+        "doc_simhash_neardup_full": _doc_simhash_neardup_full,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
@@ -1008,6 +1017,20 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash)) AS hamming "
             "FROM sk a JOIN sk b ON (a.simhash >> 16) = (b.simhash >> 16) "
             "AND a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "doc_simhash_neardup_full": (
+            f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
+            "h AS (SELECT doc_id, "
+            "  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM t), "
+            "bits AS (SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 "
+            "  THEN 1 ELSE -1 END) AS vote "
+            "  FROM h CROSS JOIN range(32) r(j) GROUP BY doc_id, j), "
+            "sk AS (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) "
+            "ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM sk a JOIN sk b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "doc_jaccard_pairs": (

@@ -48,6 +48,7 @@ BATCH_QUERIES = [
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_neardup",
+    "doc_simhash_neardup_full",
     "doc_jaccard_pairs",
     "emb_knn",
     "emb_neardup",

@@ -281,6 +281,64 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_neardup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 32,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """SimHash near-duplicates with GUARANTEED full recall — the
+    pigeonhole (blocked) construction of Manku/Jain/Das Sarma: split
+    the ``n_bits`` sketch into ``max_hamming + 1`` equal blocks; two
+    sketches within hamming distance ``max_hamming`` must agree exactly
+    on at least one block (d differing bits cannot touch d+1 blocks),
+    so bucketing each block into its own table and exact-verifying
+    candidates returns EXACTLY the brute-force hamming-ball answer —
+    unlike the single-prefix variant (``simhash_neardup_pairs``) whose
+    recall depends on where the differing bits fall.
+
+    Cost: shuffle = |docs|·(max_hamming+1) rows of (id, sketch, tbl,
+    bucket); per-bucket pair fan-in is corpus/2^block_bits — with a
+    32-bit sketch and d=3 that is 8-bit blocks (256 buckets), fine to
+    ~10^5 docs per partition-disjoint domain; at larger corpora widen
+    the sketch (n_bits=64 → 16-bit blocks) to keep buckets sparse.
+    All JVM: the sketch rides through the bucket join so the hamming
+    verify is a codegen'd ``bit_count(xor)``, no second join."""
+    n_blocks = max_hamming + 1
+    block_bits = n_bits // n_blocks
+    sk = simhash(df, id_col, text_col, n_bits, hash_fn)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                F.shiftright("simhash", t * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .alias("bucket"),
+            )
+            for t in range(n_blocks)
+        ]
+    )
+    tb = sk.select(
+        F.col(id_col), F.col("simhash"), F.explode(entries).alias("e")
+    ).select(id_col, "simhash", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    a, b = tb.alias("a"), tb.alias("b")
+    return (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # Affine MinHash permutations over the prime field GF(p), p = 2^31-1.
 # One (expensive, md5-based) base hash per shingle, then n cheap
 # arithmetic permutations h_i(x) = (a_i*x + b_i) mod p -- the classic

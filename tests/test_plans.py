@@ -199,3 +199,23 @@ def test_asof_join_is_joinless_single_shuffle(spark):
     plan = _plan(q)
     assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/...
     assert "Window" in plan
+
+
+def test_blocked_simhash_full_recall_and_shape(spark):
+    """The pigeonhole construction must (a) plan as a bucket join, no
+    all-pairs product, and (b) dominate the single-prefix variant's
+    recall (it provably equals the brute-force hamming ball — the
+    oracle pins that; here we pin the superset relation)."""
+    q = entrymod.queries()["doc_simhash_neardup_full"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    full = {(r.id_a, r.id_b) for r in q.collect()}
+    single = {
+        (r.id_a, r.id_b)
+        for r in entrymod.queries()["doc_simhash_neardup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert single <= full
+    assert len(full) > len(single)  # the single-prefix variant misses some
