@@ -506,3 +506,53 @@ def test_streaming_doc_ingest_quality_dedup(spark, tmp_path):
     ).drop_duplicates()
     assert len(got) == len(exp_fps)
     assert got["fp"].is_unique
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """sessionize() as a genuine streaming query (state-store-backed
+    session_window + watermark, append mode): once the watermark passes
+    every session's gap, the emitted sessions are row-identical to the
+    batch run over the same data — sessions split across micro-batches
+    must merge in state, not emit fragments."""
+    knobs = TranscriptKnobs(late_frac=0.0, dup_frac=0.0)
+    pdf = generate_transcripts(n_convs=20, seed=31, knobs=knobs)
+    in_dir = tmp_path / "in"
+    write_stream_batches(pdf, str(in_dir), n_files=4)
+    # two sentinels: the first advances the watermark past every
+    # session's gap, the second triggers the state flush that emits
+    far = pdf["ts"].max() + pd.Timedelta(hours=3)
+    _sentinel(far).to_parquet(in_dir / "batch-90000.parquet", index=False)
+    _sentinel(far + pd.Timedelta(minutes=1)).to_parquet(
+        in_dir / "batch-90001.parquet", index=False
+    )
+
+    from dbus_spark.operators import sessionize
+
+    src = transcript_file_stream(spark, str(in_dir), 1)
+    sessions = sessionize(
+        src, gap="2 minutes", watermark="2 hours"
+    )
+    coll = []
+    q = (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda d, b: coll.append(d.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    got = pd.concat(coll, ignore_index=True)
+    got = got[got["conv_id"] != "zzz_sentinel"]
+
+    batch = sessionize(
+        spark.createDataFrame(pdf.drop(columns=["_arrival"])),
+        gap="2 minutes",
+    ).toPandas()
+
+    key = ["conv_id", "session_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e) > 20
+    for c in ["conv_id", "n_turns", "roles"]:
+        pd.testing.assert_series_equal(g[c], e[c], check_names=False)
