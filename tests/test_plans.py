@@ -219,3 +219,17 @@ def test_blocked_simhash_full_recall_and_shape(spark):
     }
     assert single <= full
     assert len(full) > len(single)  # the single-prefix variant misses some
+
+
+def test_srp_projections_are_vectorized_not_literal_folds(spark):
+    """Round-3 fix pinned: SRP/IVF bucketing must run as Arrow UDF
+    batches (ArrowEvalPython), and the plan must not embed per-plane
+    literal arrays (whose expression-tree size grows with dim x planes
+    and whose HOF folds evaluate interpreted)."""
+    for name in ("emb_neardup_lsh", "emb_knn_ivf"):
+        q = entrymod.queries()[name](spark, SF_DIR)
+        plan = _plan(q)
+        assert "ArrowEvalPython" in plan, f"{name}: projections left Python"
+        # the old implementation embedded 8x64 doubles as literals,
+        # blowing the formatted plan to ~100kB; vectorized stays small
+        assert len(plan) < 40_000, f"{name}: plan bloated ({len(plan)} chars)"
