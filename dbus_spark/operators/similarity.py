@@ -557,25 +557,79 @@ def neardup_groups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate GROUPS: connected components over the verified
     LSH pair graph, labelling every vector with the minimum id
     reachable through above-threshold edges — the step that turns a
     pair list into dedup groups (keep one representative per group).
 
-    Components are computed by iterative min-label propagation — the
-    standard distributed CC formulation (each round: every node takes
-    the min label among itself and its neighbors; a round is one join
-    + one aggregation, all data-parallel). The driver loop only
-    *schedules* rounds and checks a scalar convergence count; no data
-    ever visits the driver. Near-dup clusters are dense (diameter ~2),
-    so convergence takes O(log d) ≈ 2-4 rounds; each round
-    localCheckpoints the (tiny: nodes-in-edges only) label frame so
-    plans don't grow with iteration count."""
+    Two execution strategies, picked by measured edge count (the same
+    size-adaptive philosophy as broadcast-join thresholds):
+
+    - edge list ≤ ``small_graph_threshold``: union-find on the driver
+      over the (ids-only, bounded) collected pairs — near-dup graphs
+      are usually tiny relative to the corpus, and the distributed
+      loop's per-round scheduling (~1 s/round here) dwarfs the actual
+      work. The collect is explicitly bounded by the threshold.
+    - larger: iterative min-label propagation — the standard
+      distributed CC formulation (each round: every node takes the min
+      label among itself and its neighbors; one join + one
+      aggregation, all data-parallel; the driver only schedules rounds
+      and checks a scalar convergence count). Dense near-dup clusters
+      converge in O(log d) ≈ 2-4 rounds; each round localCheckpoints
+      the (nodes-in-edges only) label frame so plans don't grow.
+
+    Both strategies compute the identical min-label fixpoint
+    (equivalence pinned by test)."""
     pairs = neardup_pairs_lsh(
         df, threshold, dim, n_tables, planes_per_table, seed,
         id_col, vec_col,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+
+    n_edges = pairs.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():  # bounded by small_graph_threshold
+            a, b = r.id_a, r.id_b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            m = comp_min.get(root)
+            if m is None or node < m:
+                comp_min[root] = node
+        spark = df.sparkSession
+        id_type = df.schema[id_col].dataType.simpleString()
+        if comp_min:
+            labels = spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent],
+                f"id {id_type}, label {id_type}",
+            )
+        else:
+            labels = spark.createDataFrame(
+                [], f"id {id_type}, label {id_type}"
+            )
+        return (
+            df.select(F.col(id_col))
+            .join(F.broadcast(labels), df[id_col] == labels.id, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("label", F.col(id_col)).alias("grp"),
+            )
+        )
+
     edges = pairs.union(
         pairs.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

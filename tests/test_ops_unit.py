@@ -372,3 +372,24 @@ def test_asof_join_right_cols_come_from_one_row(spark):
     assert out["L0"] == (None, None)  # nothing at or before t=5
     assert out["L1"] == (None, "a")  # t=10 row atomically (tie: <=)
     assert out["L2"] == (3, "c")
+
+
+def test_neardup_groups_strategies_agree(spark):
+    """The driver union-find fast path (small graphs) and the
+    distributed min-label loop must produce identical group labels."""
+    from dbus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).repartition(32)
+    fast = {
+        (r.vec_id, r.grp)
+        for r in S.neardup_groups(emb, threshold=0.4, dim=64).collect()
+    }
+    loop = {
+        (r.vec_id, r.grp)
+        for r in S.neardup_groups(
+            emb, threshold=0.4, dim=64, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == loop and len(fast) == 500
