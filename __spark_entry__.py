@@ -768,23 +768,39 @@ def _knn_ivf_oracle(
     )
 
 
-def _knn_ivf_trained_oracle() -> str:
+def _knn_ivf_trained_oracle() -> str | None:
     """Oracle for the trained-IVF query: centroids come from the numpy
     replica of the Spark k-means (bit-identical by the 6-decimal
-    rounding protocol), trained on the sf0.01 table the driver's
-    correctness gate compares at."""
-    import numpy as np
-    import pandas as pd
+    rounding protocol), trained on the sf0.01 table — the ONLY scale
+    the driver's correctness gate compares at (the Spark query trains
+    on whatever sf_dir it gets; at any other scale this oracle would
+    not correspond, which is why it is pinned to the gate's scale).
+    Cached so repeated oracle_sql() calls train once; returns None
+    (query falls back to the rows-only check) when the fixture is
+    absent instead of failing every oracle lookup."""
+    global _IVF_TRAINED_ORACLE_CACHE
+    if _IVF_TRAINED_ORACLE_CACHE is not _UNSET:
+        return _IVF_TRAINED_ORACLE_CACHE
+    try:
+        import numpy as np
+        import pandas as pd
 
-    from dbus_spark.operators.similarity import kmeans_centroids_local
+        from dbus_spark.operators.similarity import kmeans_centroids_local
 
-    V = np.stack(
-        pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")[
-            "embedding"
-        ].to_numpy()
-    )
-    cents = kmeans_centroids_local(V, n_centroids=16, seed=11, n_iter=5)
-    return _knn_ivf_oracle(cents=cents)
+        V = np.stack(
+            pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")[
+                "embedding"
+            ].to_numpy()
+        )
+        cents = kmeans_centroids_local(V, n_centroids=16, seed=11, n_iter=5)
+        _IVF_TRAINED_ORACLE_CACHE = _knn_ivf_oracle(cents=cents)
+    except (FileNotFoundError, OSError):
+        _IVF_TRAINED_ORACLE_CACHE = None
+    return _IVF_TRAINED_ORACLE_CACHE
+
+
+_UNSET = object()
+_IVF_TRAINED_ORACLE_CACHE = _UNSET
 
 
 _LANG_SCORES = """
@@ -796,6 +812,13 @@ _LANG_SCORES = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # entries resolving to None (e.g. the trained-IVF oracle when its
+    # fixture is absent) are omitted -> the driver records the weaker
+    # rows-only check for that query instead of every oracle failing
+    return {k: v for k, v in _oracle_sql_all().items() if v is not None}
+
+
+def _oracle_sql_all() -> dict[str, str | None]:
     return {
         "route_exact": (
             "SELECT event_id, event_type AS ident FROM events "

@@ -52,6 +52,21 @@ def _h32(c: Column, hash_fn: str = "md5") -> Column:
     raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
+def _hash_bits(c: Column, n_bits: int, hash_fn: str = "md5") -> Column:
+    """Deterministic hash with at least ``n_bits`` of entropy (≤ 60):
+    the 32-bit ``_h32`` for narrow sketches (oracle-parity form), a
+    60-bit md5 slice / folded xxhash64 for wide ones — a 32-bit base
+    hash under a wider sketch would leave every bit ≥ 32 voting
+    negative (zero entropy), which for the blocked near-dup tables
+    means whole blocks of always-colliding zero buckets."""
+    if n_bits <= 32:
+        return _h32(c, hash_fn)
+    if hash_fn == "md5":
+        # 15 hex chars = 60 bits, fits a signed long
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.pmod(F.xxhash64(c), F.lit(1 << 60)).cast("long")
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -109,13 +124,23 @@ def shingles_exploded_arrow(
 ) -> DataFrame:
     """Distinct word n-gram shingles, EXPLODED (one row per (id,
     shingle)) — the Arrow throughput path for the shingle stage.
-    Byte-identical strings to ``word_shingles`` + explode (same \\s+
-    tokenization of the trimmed text, same space join), computed with
-    C-backed pandas kernels: explode + group-wise shift + vectorized
-    concat — no per-row python. The Catalyst form evaluates an
-    interpreted slice+array_join per shingle (~15 µs each, measured:
-    3.9 s for 260k shingles at sf0.1); this path batches it all."""
+    Byte-identical strings to ``word_shingles`` + explode, computed
+    with C-backed pandas kernels: explode + group-wise shift +
+    vectorized concat — no per-row python. The Catalyst form evaluates
+    an interpreted slice+array_join per shingle (~15 µs each, measured:
+    3.9 s for 260k shingles at sf0.1); this path batches it all.
+
+    Parity detail (a review caught the naive version diverging): Spark
+    ``trim`` strips ONLY 0x20 spaces and Java ``\\s`` is ASCII-only,
+    while pandas ``.str.strip()`` / Python ``\\s`` are Unicode-aware —
+    so this path strips spaces explicitly and splits on the ASCII
+    whitespace class, keeping tab-edged and NBSP-containing texts
+    byte-identical to the JVM tokenization (pinned by a parity test
+    with hostile whitespace)."""
     import pandas as pd
+
+    # Java \s == [ \t\n\x0B\f\r]; Spark trim == strip 0x20 only
+    _JAVA_WS = r"[ \t\n\x0b\f\r]+"
 
     def gen(it):
         for pdf in it:
@@ -124,8 +149,8 @@ def shingles_exploded_arrow(
             pdf = pdf.reset_index(drop=True)
             toks = (
                 pdf[text_col]
-                .str.strip()
-                .str.split(r"\s+", regex=True)
+                .str.strip(" ")
+                .str.split(_JAVA_WS, regex=True)
                 .explode()
             )
             g = toks.groupby(level=0)
@@ -347,7 +372,9 @@ def simhash_neardup_pairs_blocked(
     bucket); per-bucket pair fan-in is corpus/2^block_bits — with a
     32-bit sketch and d=3 that is 8-bit blocks (256 buckets), fine to
     ~10^5 docs per partition-disjoint domain; at larger corpora widen
-    the sketch (n_bits=64 → 16-bit blocks) to keep buckets sparse.
+    the sketch (n_bits=48 → 12-bit blocks, n_bits=60 → 15-bit; the
+    packed long + 60-bit base hash cap n_bits at 60) to keep
+    buckets sparse.
     All JVM: the sketch rides through the bucket join so the hamming
     verify is a codegen'd ``bit_count(xor)``, no second join."""
     n_blocks = max_hamming + 1
@@ -486,10 +513,14 @@ def simhash(
 ) -> DataFrame:
     """SimHash sketch: bit j is the sign of the ±1 vote over all token
     hashes' j-th bits (token multiset, not distinct — classic SimHash).
-    Single pass over the token array per row, no shuffle."""
+    Single pass over the token array per row, no shuffle. ``n_bits``
+    up to 62 (the packed sketch must fit a signed long; a review
+    caught the old double-pow packing silently corrupting bits ≥ 53)."""
+    if not 1 <= n_bits <= 62:
+        raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
     toks = tokens(text_col)
     # hash each token once, then fold the ±1 bit votes
-    hashes = F.transform(toks, lambda t: _h32(t, hash_fn))
+    hashes = F.transform(toks, lambda t: _hash_bits(t, n_bits, hash_fn))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), n_bits),
@@ -509,16 +540,20 @@ def simhash(
             lambda a, b: a + b,
         ),
     )
-    # bit j set iff vote > 0; 2^j is exact in double for j < 53
+    # bit j set iff vote > 0 — each element 2^j is a single power of
+    # two (exactly representable in double for any j, then cast to
+    # long), and the SUM runs in long arithmetic: the previous packing
+    # summed in double, where a running total spanning >= 53 bits
+    # silently dropped the low bits
     sh = F.aggregate(
         F.zip_with(
             votes,
             F.sequence(F.lit(0), F.lit(n_bits - 1)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(
-                F.lit(0.0)
-            ),
+            lambda v, j: F.when(
+                v > 0, F.pow(F.lit(2.0), j).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    ).cast("long")
+    )
     return df.select(F.col(id_col), sh.alias("simhash"))

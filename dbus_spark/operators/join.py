@@ -82,6 +82,13 @@ def asof_join(
     from pyspark.sql.window import Window
 
     l_cols = [c for c in left.columns if c != by and c != ts]
+    clash = set(right_cols) & set(l_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(clash)} collide with left "
+            "payload columns — rename one side (a silent duplicate "
+            "column name would break every downstream reference)"
+        )
     # the right payload rides as ONE struct so every carried column
     # comes atomically from the same right row (independent per-column
     # last() could mix rows when right columns contain nulls)

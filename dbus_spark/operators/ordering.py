@@ -47,13 +47,21 @@ first-class knob, not an accident:
 - ``max_pending_per_bucket`` hard-caps the out-of-order buffer, the
   only unbounded part of the blob (a flood of rows behind a gap that
   never closes). When a batch leaves a bucket over the cap, whole
-  conversations are force-flushed in oldest-deadline-first order —
-  exactly the deadline-expiry path, just early — until under the cap.
+  conversations' buffers are force-flushed in oldest-deadline-first
+  order until under the cap: the buffered suffix emits in index order
+  and the conversation's frontier advances past it — the meta entry is
+  KEPT (unlike deadline expiry, which only forgets a conversation once
+  the watermark guarantees redeliveries would be dropped as late), so
+  a redelivered already-emitted turn is still filtered by the frontier
+  and the no-duplicates guarantee survives the flush. The flush makes
+  the same judgement deadline expiry makes — "this gap is not coming"
+  — just early: if a flooded conversation's missing gap turns DO
+  straggle in afterwards they are dropped (they could no longer emit
+  in order anyway), i.e. under forced flushes delivery for the flooded
+  conversation degrades to at-most-once-per-turn, never to duplicates.
   Worst-case blob = meta (bounded by convs/bucket) +
   ``max_pending_per_bucket`` row payloads, regardless of input
-  adversity; every row is still emitted exactly once, and a
-  force-flushed conversation merely loses its remaining grace window
-  (its buffered suffix emits in index order, as on deadline).
+  adversity.
 """
 
 from __future__ import annotations
@@ -244,10 +252,16 @@ def _force_flush(
     meta: pd.DataFrame, pending: pd.DataFrame, cap: int
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Bound the bucket blob: if pending exceeds ``cap`` rows, flush
-    whole conversations early — oldest deadline first, minimal prefix
-    that brings the buffer under the cap — with deadline-expiry
-    semantics (emit buffered suffix in index order, forget the
-    conversation). Returns (emit, meta', pending')."""
+    whole conversations' BUFFERS early — oldest deadline first, minimal
+    prefix that brings the buffer under the cap — emitting each
+    buffered suffix in index order and advancing that conversation's
+    frontier past it. The meta entry (two int64s) is KEPT, unlike the
+    deadline-expiry path: deadline expiry only fires once the watermark
+    guarantees any redelivery would be dropped as late, but a forced
+    flush happens while the watermark is still behind, so dropping the
+    frontier here would let a redelivered already-emitted turn re-enter
+    at next_idx=0 and emit twice. The conversation is still swept
+    normally when its deadline passes. Returns (emit, meta', pending')."""
     if len(pending) <= cap:
         return pending.iloc[0:0], meta, pending
     sizes = pending["conv_id"].value_counts()
@@ -259,11 +273,19 @@ def _force_flush(
     victims = order[:k]
     on_v = pending["conv_id"].isin(victims).to_numpy()
     emit = pending[on_v].sort_values(["conv_id", "turn_idx"], kind="stable")
-    return (
-        emit,
-        meta.drop(index=meta.index.intersection(victims)),
-        pending[~on_v],
+    # frontier jumps past the flushed suffix: later in-order rows still
+    # emit; duplicates of anything at-or-below it are filtered
+    new_front = emit.groupby("conv_id")["turn_idx"].max() + 1
+    meta = meta.reindex(meta.index.union(new_front.index, sort=False))
+    meta.loc[new_front.index, "next_idx"] = np.maximum(
+        meta.loc[new_front.index, "next_idx"].fillna(0).to_numpy("int64"),
+        new_front.to_numpy("int64"),
     )
+    meta["next_idx"] = meta["next_idx"].astype("int64")
+    # a victim with no prior meta entry (defensive: cannot happen via
+    # _advance_bucket) gets deadline 0 -> swept at the next timeout
+    meta["deadline"] = meta["deadline"].fillna(0).astype("int64")
+    return emit, meta, pending[~on_v]
 
 
 def _make_bucket_fn(timeout_ms: int, max_pending: int = 100_000):

@@ -345,7 +345,11 @@ def _subprocess_output(options: dict) -> Callable:
     if scope not in ("driver", "executor"):
         raise ValueError(f"SubprocessOutput scope must be driver|executor: {scope}")
 
-    def _pipe(lines, proc) -> int:
+    def _pipe(lines, proc) -> tuple[int, bool]:
+        """Returns (rows written, pipe broke early). A broken pipe is
+        surfaced to the caller even when the consumer exits 0 — a
+        consumer that stops reading (e.g. ``head``) and exits cleanly
+        would otherwise turn silent data truncation into 'success'."""
         n = 0
         try:
             for line in lines:
@@ -353,8 +357,8 @@ def _subprocess_output(options: dict) -> Callable:
                 n += 1
             proc.stdin.close()
         except BrokenPipeError:
-            pass  # consumer died mid-stream; surface its exit code
-        return n
+            return n, True
+        return n, False
 
     def fn(df: DataFrame, name: str):
         import subprocess
@@ -368,11 +372,17 @@ def _subprocess_output(options: dict) -> Callable:
                 proc = subprocess.Popen(
                     cmd, stdin=subprocess.PIPE, stdout=out_f
                 )
-                n = _pipe(df.toJSON().toLocalIterator(), proc)
+                n, broke = _pipe(df.toJSON().toLocalIterator(), proc)
                 rc = proc.wait()
                 if rc != 0:
                     raise RuntimeError(
                         f"SubprocessOutput {name!r}: {cmd} exited {rc}"
+                    )
+                if broke:
+                    raise RuntimeError(
+                        f"SubprocessOutput {name!r}: {cmd} closed stdin "
+                        f"after {n} rows with more remaining — "
+                        "refusing to report truncated delivery as success"
                     )
                 return n
             finally:
@@ -395,11 +405,16 @@ def _subprocess_output(options: dict) -> Callable:
             )
             try:
                 proc = sp.Popen(cmd, stdin=sp.PIPE, stdout=out_f)
-                _pipe(lines, proc)
+                n, broke = _pipe(lines, proc)
                 rc = proc.wait()
                 if rc != 0:
                     raise RuntimeError(
                         f"SubprocessOutput partition {pid}: {cmd} exited {rc}"
+                    )
+                if broke:
+                    raise RuntimeError(
+                        f"SubprocessOutput partition {pid}: {cmd} closed "
+                        f"stdin after {n} rows with more remaining"
                     )
             finally:
                 if stdout_dir:

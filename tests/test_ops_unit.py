@@ -393,3 +393,85 @@ def test_neardup_groups_strategies_agree(spark):
         ).collect()
     }
     assert fast == loop and len(fast) == 500
+
+
+def test_arrow_shingles_match_catalyst_on_hostile_whitespace(spark):
+    """Byte-parity of the Arrow shingle path with the JVM tokenization
+    on the cases where Python and Java whitespace semantics diverge:
+    tab/newline edges (Spark trim strips only 0x20; leading separator
+    yields an empty first token) and Unicode whitespace (NBSP is NOT a
+    Java \\s separator)."""
+    from pyspark.sql import functions as F
+
+    from dbus_spark.operators.dedup import (
+        shingles_exploded_arrow,
+        word_shingles,
+    )
+
+    texts = [
+        "\ta b c d",          # leading tab -> empty first token survives
+        "a b c d\n",          # trailing newline
+        "a b c d e",     # NBSP inside a token (not a separator)
+        "  a  b\tc  d  ",     # 0x20 runs + tab
+        "a b c d e",     # EM SPACE (unicode ws, not Java \s)
+        "",                   # empty
+        "one two",            # too short for 3-grams
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cat = set(
+        map(
+            tuple,
+            df.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
+            .select("doc_id", F.explode("sh").alias("s"))
+            .collect(),
+        )
+    )
+    arr = set(map(tuple, shingles_exploded_arrow(df).collect()))
+    assert arr == cat
+
+
+def test_simhash_wide_sketch_exact_and_validated(spark):
+    """Review fixes pinned: wide sketches pack in long arithmetic AND
+    switch to a 60-bit base hash (a 32-bit hash leaves bits >= 32
+    voting uniformly negative — zero entropy). Verified bit-for-bit
+    against a python recomputation; out-of-range n_bits raises; the
+    narrow form still uses the oracle-parity 32-bit hash."""
+    import hashlib
+    import re
+
+    import pytest as _pytest
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = D.simhash(df, n_bits=60).collect()[0]["simhash"]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = re.split(r"[ \t\n\x0b\f\r]+", text)
+    votes = [0] * 60
+    for t in toks:
+        hv = h60(t)
+        for j in range(60):
+            votes[j] += 1 if (hv >> j) & 1 else -1
+    exp = sum(1 << j for j in range(60) if votes[j] > 0)
+    assert got == exp
+    assert exp >= (1 << 53)  # high bits genuinely populated
+    # single-token doc: sketch == the token's 60-bit hash exactly
+    one = spark.createDataFrame([(2, "solo")], "doc_id long, text string")
+    assert D.simhash(one, n_bits=60).collect()[0]["simhash"] == h60("solo")
+    with _pytest.raises(ValueError):
+        D.simhash(df, n_bits=63)
+
+
+def test_asof_join_rejects_colliding_right_cols(spark):
+    from dbus_spark.operators.join import asof_join
+
+    left = spark.createDataFrame([("u", 1, 9)], "k string, t long, val int")
+    right = spark.createDataFrame([("u", 1, 7)], "k string, t long, val int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, by="k", ts="t", right_cols=["val"])

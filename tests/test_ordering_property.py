@@ -147,7 +147,9 @@ def test_force_flush_evicts_oldest_deadline_first():
     emit, meta, pending = _force_flush(meta, pending, cap=5)
     assert list(emit["conv_id"].unique()) == ["a"]
     assert list(emit["turn_idx"]) == [2, 3, 4]  # suffix in index order
-    assert "a" not in meta.index and len(pending) == 4
+    # meta KEPT, frontier advanced past the flushed suffix: redelivered
+    # already-emitted turns stay filtered (exactly-once survives)
+    assert meta.loc["a", "next_idx"] == 5 and len(pending) == 4
 
 
 def test_force_flush_single_hot_conversation_bounded():
@@ -161,16 +163,18 @@ def test_force_flush_single_hot_conversation_bounded():
     emit, meta, pending = _force_flush(meta, pending, cap=100)
     assert len(emit) == 1000 and len(pending) == 0
     assert list(emit["turn_idx"]) == list(range(1, 1001))
-    assert len(meta) == 0
+    assert meta.loc["hot", "next_idx"] == 1001
 
 
 @settings(max_examples=40, deadline=None)
 @given(convs=convs_strategy, data=st.data(), cap=st.integers(1, 8))
-def test_capped_stream_still_emits_exactly_once(convs, data, cap):
-    """With the pending cap enforced after every batch (unique arrivals,
-    as redelivery-after-forget re-emits by design on ANY forget path,
-    deadline or forced), every turn still emits exactly once and the
-    buffer never exceeds the cap between batches."""
+def test_capped_stream_never_duplicates_and_bounds_buffer(convs, data, cap):
+    """With the pending cap enforced after every batch: NO (conv, turn)
+    ever emits twice (the hard guarantee), the buffer never exceeds the
+    cap, and conversations that were never force-flushed still emit
+    every turn. Force-flushed conversations may drop gap turns that
+    straggle in after their flush (documented at-most-once degradation
+    for floods) — never duplicate."""
     rows = []
     for conv, n in convs.items():
         order = data.draw(st.permutations(list(range(n))), label=f"o-{conv}")
@@ -194,6 +198,7 @@ def test_capped_stream_still_emits_exactly_once(convs, data, cap):
 
     meta, pending = _empty_meta(), _empty_pending()
     emitted = []
+    force_flushed_convs = set()
     for batch in batches:
         if not batch:
             continue
@@ -206,6 +211,7 @@ def test_capped_stream_still_emits_exactly_once(convs, data, cap):
         forced, meta, pending = _force_flush(meta, pending, cap)
         if len(forced):
             emitted.append(forced)
+            force_flushed_convs.update(forced["conv_id"].unique())
         assert len(pending) <= cap  # the blob bound
     flushed, meta, pending = _flush_expired(meta, pending, 120_000)
     if len(flushed):
@@ -214,5 +220,33 @@ def test_capped_stream_still_emits_exactly_once(convs, data, cap):
     got = (
         pd.concat(emitted, ignore_index=True) if emitted else _empty_pending()
     )
-    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
-    assert len(got) == sum(convs.values())
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0  # NEVER dups
+    for conv, n in convs.items():
+        g = sorted(got[got["conv_id"] == conv]["turn_idx"])
+        if conv not in force_flushed_convs:
+            assert g == list(range(n))  # untouched convs: complete
+        else:
+            assert set(g) <= set(range(n))  # flooded: subset, no dups
+
+
+def test_force_flush_keeps_frontier_so_redelivery_stays_filtered():
+    """The exactly-once hole a review found: force-flush must NOT drop
+    the conversation's frontier while the watermark is still behind —
+    a redelivered already-emitted turn would re-enter at next_idx=0 and
+    emit twice. The frontier survives the flush and filters it."""
+    meta, pending = _empty_meta(), _empty_pending()
+    _, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("x", list(range(1, 11))), 60_000
+    )
+    emit, meta, pending = _force_flush(meta, pending, cap=5)
+    assert list(emit["turn_idx"]) == list(range(1, 11))
+    # redelivery of already-emitted turns 3 and 4 (watermark still 0)
+    emit2, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("x", [3, 4]), 60_000
+    )
+    assert len(emit2) == 0 and len(pending) == 0  # filtered, not re-emitted
+    # a genuinely new later turn still flows (in-order from the frontier)
+    emit3, meta, pending = _advance_bucket(
+        meta, pending, _mk_rows("x", [11]), 60_000
+    )
+    assert list(emit3["turn_idx"]) == [11]

@@ -252,3 +252,29 @@ def test_subprocess_output_executor_scope(spark, tmp_path):
         rows += [json.loads(x) for x in f.read_text().splitlines()]
     assert sorted(r["id"] for r in rows) == list(range(20))
     assert len(list(out_dir.iterdir())) == 4  # one consumer per partition
+
+
+def test_subprocess_output_truncating_consumer_raises(spark):
+    """A consumer that stops reading and exits 0 (head -1) must NOT be
+    reported as a successful delivery — review fix pinned."""
+    from dbus_spark.pipeline import Pipeline
+
+    cfg = {
+        "plugins": [
+            {"name": "src", "class": "MemoryInput"},
+            {
+                "name": "trunc",
+                "class": "SubprocessOutput",
+                "match": ["src"],
+                "options": {"cmd": ["head", "-1"]},
+            },
+        ]
+    }
+    # enough rows to overrun the OS pipe buffer after head exits
+    df = spark.range(300000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="closed stdin|exited"):
+        Pipeline(cfg).run(spark, sources={"src": df})
