@@ -493,6 +493,7 @@ def neardup_pairs_lsh(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via multi-table SRP-LSH — the 100 TB shape:
 
@@ -511,10 +512,26 @@ def neardup_pairs_lsh(
     cos ≥ .95 are found with P > .9999 at the defaults, low-similarity
     pairs may be missed by design. The DuckDB oracle mirrors the exact
     same construction (literal hyperplanes), so the value check is
-    exact over the implemented semantics."""
+    exact over the implemented semantics.
+
+    ``max_bucket`` drops (table, bucket) cells holding more than that
+    many vectors before pairing — the bucket-join analog of the
+    Jaccard ``max_df`` cut: a degenerate cell (e.g. a dense region all
+    hashing together) costs |cell|² join rows while its pairs are the
+    least informative; capping bounds the worst hot key at
+    max_bucket² regardless of data skew. Off by default (the oracle
+    mirrors the uncapped construction)."""
     tb = lsh_bucket_tables(
         df, dim, n_tables, planes_per_table, seed, id_col, vec_col
     )
+    if max_bucket is not None:
+        small = (
+            tb.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("tbl", "bucket")
+        )
+        tb = tb.join(small, on=["tbl", "bucket"], how="left_semi")
     a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(b, on=["tbl", "bucket"])

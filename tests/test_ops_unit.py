@@ -475,3 +475,32 @@ def test_asof_join_rejects_colliding_right_cols(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, by="k", ts="t", right_cols=["val"])
+
+
+def test_neardup_lsh_max_bucket_caps_hot_cells(spark):
+    """max_bucket bounds the hot-key blowup of the bucket join: capped
+    output is a subset of the uncapped answer, and a tiny cap on a
+    dense cluster (all near-identical vectors hash together) prunes
+    that cell while leaving sparse cells' pairs intact."""
+    import numpy as np
+
+    from dbus_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype("float32")
+    rows = []
+    # a dense clump of 30 near-identical vectors (one hot cell) plus
+    # a couple of isolated near-dup pairs elsewhere
+    for i in range(30):
+        rows.append((i, (base + rng.standard_normal(64).astype("float32") * 0.01).tolist()))
+    for i, seed2 in ((100, 5), (200, 9)):
+        v = rng.standard_normal(64).astype("float32")
+        rows.append((i, v.tolist()))
+        rows.append((i + 1, (v + rng.standard_normal(64).astype("float32") * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = {(r.id_a, r.id_b) for r in S.neardup_pairs_lsh(df, threshold=0.9, dim=64).collect()}
+    capped = {(r.id_a, r.id_b) for r in S.neardup_pairs_lsh(df, threshold=0.9, dim=64, max_bucket=10).collect()}
+    assert capped <= full
+    assert (100, 101) in capped and (200, 201) in capped  # sparse pairs kept
+    assert len(capped) < len(full)  # the clump's cells were pruned
