@@ -485,7 +485,9 @@ def _emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6-decimal rounding protocol makes the trained centroids identical
     # to the numpy replica the oracle inlines (similarity.py docstring).
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroids(emb, dim=64, n_centroids=16, seed=11, n_iter=5)
+    cents = S.kmeans_centroids(
+        emb, dim=64, n_centroids=16, seed=11, n_iter=5, init="kpp"
+    )
     return S.knn_ivf(
         emb.repartition(spark.sparkContext.defaultParallelism),
         query_ids=[0, 1, 2, 3, 4],
@@ -787,12 +789,17 @@ def _knn_ivf_trained_oracle() -> str | None:
 
         from dbus_spark.operators.similarity import kmeans_centroids_local
 
-        V = np.stack(
-            pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")[
-                "embedding"
-            ].to_numpy()
+        pdf = pd.read_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
         )
-        cents = kmeans_centroids_local(V, n_centroids=16, seed=11, n_iter=5)
+        cents = kmeans_centroids_local(
+            np.stack(pdf["embedding"].to_numpy()),
+            n_centroids=16,
+            seed=11,
+            n_iter=5,
+            init="kpp",
+            ids=pdf["vec_id"].to_numpy(),
+        )
         _IVF_TRAINED_ORACLE_CACHE = _knn_ivf_oracle(cents=cents)
     except (FileNotFoundError, OSError):
         _IVF_TRAINED_ORACLE_CACHE = None

@@ -205,6 +205,90 @@ def ivf_centroids(
     return c.tolist()
 
 
+def kmeanspp_init(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic farthest-point (greedy k-means++) initialization:
+    start from the lowest-id vector, then repeatedly add the vector
+    farthest (min over chosen centroids of cosine-ish distance
+    1 - <v,c>/(|v||c|)) from the chosen set; exact ties break to the
+    smaller id. One distributed scan per centroid — each partition
+    reduces to its (best_dist, best_id, best_vec) candidate via a
+    mapInPandas partial, the driver picks the global winner (k tiny
+    rows per round; the k-means|| oversampling variant batches these
+    rounds for very large k, not needed at k≲256).
+
+    Deterministic and engine-replicable: chosen centroids are actual
+    data vectors (float32 values, no arithmetic wobble) rounded to the
+    same 6-decimal protocol as the Lloyd iterations, and distances use
+    the fold-exact dots, so :func:`kmeans_centroids_local` with
+    ``init="kpp"`` reproduces them bit-for-bit."""
+    first = (
+        df.orderBy(F.col(id_col).asc())
+        .select(vec_col)
+        .limit(1)
+        .collect()[0][0]
+    )
+    chosen = [np.round(np.asarray(first, dtype=np.float64), 6)]
+
+    while len(chosen) < n_centroids:
+        C = np.stack(chosen)
+
+        def partial(it):
+            best = (-np.inf, None, None)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _stack(pdf[vec_col])
+                ids = pdf[id_col].to_numpy()
+                sims = _fold_dots(V, C) / (
+                    np.linalg.norm(V, axis=1)[:, None]
+                    * np.linalg.norm(C, axis=1)[None, :]
+                )
+                d = 1.0 - sims.max(axis=1)
+                # max distance, ties to smaller id
+                order = np.lexsort((ids, -d))
+                i = order[0]
+                if (d[i], -ids[i]) > (best[0], -(best[1] if best[1] is not None else np.inf)):
+                    best = (float(d[i]), int(ids[i]), V[i])
+            if best[1] is None:
+                return
+            yield pd.DataFrame(
+                {"d": [best[0]], "id": [best[1]], "v": [best[2].tolist()]}
+            )
+
+        cands = df.select(id_col, vec_col).mapInPandas(
+            partial, schema="d double, id long, v array<double>"
+        ).collect()
+        win = max(cands, key=lambda r: (r.d, -r.id))
+        chosen.append(np.round(np.asarray(win.v, dtype=np.float64), 6))
+    return [c.tolist() for c in chosen]
+
+
+def kmeanspp_init_local(
+    V: np.ndarray, ids: np.ndarray, n_centroids: int = 16
+) -> list[list[float]]:
+    """numpy replica of :func:`kmeanspp_init` (same rounding, same
+    fold-exact distances, same tie-break) for the oracle generator."""
+    V = V.astype(np.float64)
+    order0 = np.argsort(ids, kind="stable")
+    chosen = [np.round(V[order0[0]], 6)]
+    while len(chosen) < n_centroids:
+        C = np.stack(chosen)
+        sims = _fold_dots(V, C) / (
+            np.linalg.norm(V, axis=1)[:, None]
+            * np.linalg.norm(C, axis=1)[None, :]
+        )
+        d = 1.0 - sims.max(axis=1)
+        i = np.lexsort((ids, -d))[0]
+        chosen.append(np.round(V[i], 6))
+    return [c.tolist() for c in chosen]
+
+
 def kmeans_centroids(
     df: DataFrame,
     dim: int,
@@ -212,10 +296,15 @@ def kmeans_centroids(
     seed: int = 11,
     n_iter: int = 5,
     vec_col: str = "embedding",
+    init: str = "seeded",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd's) over the embedding table — the
     training pass that turns the seeded IVF stand-ins into real
-    coarse-quantizer centroids. Each iteration is ONE distributed scan:
+    coarse-quantizer centroids. ``init``: "seeded" (random unit
+    vectors from the seed — oracle-stable anywhere) or "kpp"
+    (:func:`kmeanspp_init` — data-spread farthest-point starts,
+    k extra scans). Each iteration is ONE distributed scan:
     ``mapInPandas`` assigns every vector to its max-dot centroid and
     emits per-partition partial (sum, count) per cell — k·dim doubles
     per partition, so the driver combine handles scalars-sized data
@@ -231,9 +320,18 @@ def kmeans_centroids(
     replica (:func:`kmeans_centroids_local`) is quashed by the
     rounding — the two trainers produce identical centroids, which is
     what lets the DuckDB oracle inline them."""
-    C = np.round(
-        np.asarray(ivf_centroids(n_centroids, dim, seed), dtype=np.float64), 6
-    )
+    if init == "kpp":
+        C = np.asarray(
+            kmeanspp_init(df, dim, n_centroids, vec_col, id_col),
+            dtype=np.float64,
+        )
+    else:
+        C = np.round(
+            np.asarray(
+                ivf_centroids(n_centroids, dim, seed), dtype=np.float64
+            ),
+            6,
+        )
     for _ in range(n_iter):
         C_cur = C.copy()
 
@@ -280,17 +378,27 @@ def kmeans_centroids_local(
     n_centroids: int = 16,
     seed: int = 11,
     n_iter: int = 5,
+    init: str = "seeded",
+    ids: np.ndarray | None = None,
 ) -> list[list[float]]:
     """Single-process numpy replica of :func:`kmeans_centroids` — used
     by the DuckDB oracle generator (which has no SparkSession) and by
-    equivalence tests. Identical math: same seeded init, fold-exact
-    assignment dots, unit-normalized means, 6-decimal rounding per
-    iteration."""
+    equivalence tests. Identical math: same init (seeded or kpp, the
+    latter needs ``ids``), fold-exact assignment dots, unit-normalized
+    means, 6-decimal rounding per iteration."""
     dim = V.shape[1]
     V = V.astype(np.float64)
-    C = np.round(
-        np.asarray(ivf_centroids(n_centroids, dim, seed), dtype=np.float64), 6
-    )
+    if init == "kpp":
+        C = np.asarray(
+            kmeanspp_init_local(V, ids, n_centroids), dtype=np.float64
+        )
+    else:
+        C = np.round(
+            np.asarray(
+                ivf_centroids(n_centroids, dim, seed), dtype=np.float64
+            ),
+            6,
+        )
     for _ in range(n_iter):
         cells = np.argmax(_fold_dots(V, C), axis=1)
         for c in range(n_centroids):
