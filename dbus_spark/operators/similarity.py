@@ -211,22 +211,25 @@ def kmeanspp_init(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch: int = 5,
 ) -> list[list[float]]:
-    """Deterministic farthest-point (greedy k-means++) initialization:
-    start from the lowest-id vector, then repeatedly add the vector
-    farthest (min over chosen centroids of cosine-ish distance
-    1 - <v,c>/(|v||c|)) from the chosen set; exact ties break to the
-    smaller id. One distributed scan per centroid — each partition
-    reduces to its (best_dist, best_id, best_vec) candidate via a
-    mapInPandas partial, the driver picks the global winner (k tiny
-    rows per round; the k-means|| oversampling variant batches these
-    rounds for very large k, not needed at k≲256).
+    """Deterministic farthest-point (k-means‖-style batched greedy
+    k-means++) initialization: start from the lowest-id vector, then
+    per round add the ``batch`` vectors with the largest min-distance
+    to the chosen set (distance 1 - <v,c>/(|v||c|); exact ties break
+    to the smaller id; intra-batch interactions ignored, the standard
+    k-means|| oversampling trade-off — Lloyd iterations clean up any
+    same-batch redundancy). ceil((k-1)/batch) distributed scans
+    instead of k-1: each partition reduces to its top-``batch``
+    candidates via a mapInPandas partial, the driver merges the tiny
+    candidate rows and appends the global top-``batch``.
 
     Deterministic and engine-replicable: chosen centroids are actual
     data vectors (float32 values, no arithmetic wobble) rounded to the
-    same 6-decimal protocol as the Lloyd iterations, and distances use
-    the fold-exact dots, so :func:`kmeans_centroids_local` with
-    ``init="kpp"`` reproduces them bit-for-bit."""
+    same 6-decimal protocol as the Lloyd iterations, distances use the
+    fold-exact dots, and the selection rule is a pure function of the
+    per-row (d, id) pairs — so :func:`kmeanspp_init_local` reproduces
+    the choices bit-for-bit regardless of partitioning."""
     first = (
         df.orderBy(F.col(id_col).asc())
         .select(vec_col)
@@ -237,9 +240,10 @@ def kmeanspp_init(
 
     while len(chosen) < n_centroids:
         C = np.stack(chosen)
+        take = min(batch, n_centroids - len(chosen))
 
         def partial(it):
-            best = (-np.inf, None, None)
+            rows = []
             for pdf in it:
                 if not len(pdf):
                     continue
@@ -250,42 +254,47 @@ def kmeanspp_init(
                     * np.linalg.norm(C, axis=1)[None, :]
                 )
                 d = 1.0 - sims.max(axis=1)
-                # max distance, ties to smaller id
-                order = np.lexsort((ids, -d))
-                i = order[0]
-                if (d[i], -ids[i]) > (best[0], -(best[1] if best[1] is not None else np.inf)):
-                    best = (float(d[i]), int(ids[i]), V[i])
-            if best[1] is None:
-                return
-            yield pd.DataFrame(
-                {"d": [best[0]], "id": [best[1]], "v": [best[2].tolist()]}
-            )
+                top = np.lexsort((ids, -d))[:take]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "d": d[top],
+                            "id": ids[top],
+                            "v": [V[i].tolist() for i in top],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
 
         cands = df.select(id_col, vec_col).mapInPandas(
             partial, schema="d double, id long, v array<double>"
         ).collect()
-        win = max(cands, key=lambda r: (r.d, -r.id))
-        chosen.append(np.round(np.asarray(win.v, dtype=np.float64), 6))
+        cands.sort(key=lambda r: (-r.d, r.id))
+        for r in cands[:take]:
+            chosen.append(np.round(np.asarray(r.v, dtype=np.float64), 6))
     return [c.tolist() for c in chosen]
 
 
 def kmeanspp_init_local(
-    V: np.ndarray, ids: np.ndarray, n_centroids: int = 16
+    V: np.ndarray, ids: np.ndarray, n_centroids: int = 16, batch: int = 5
 ) -> list[list[float]]:
     """numpy replica of :func:`kmeanspp_init` (same rounding, same
-    fold-exact distances, same tie-break) for the oracle generator."""
+    fold-exact distances, same batched selection and tie-break) for
+    the oracle generator."""
     V = V.astype(np.float64)
     order0 = np.argsort(ids, kind="stable")
     chosen = [np.round(V[order0[0]], 6)]
     while len(chosen) < n_centroids:
         C = np.stack(chosen)
+        take = min(batch, n_centroids - len(chosen))
         sims = _fold_dots(V, C) / (
             np.linalg.norm(V, axis=1)[:, None]
             * np.linalg.norm(C, axis=1)[None, :]
         )
         d = 1.0 - sims.max(axis=1)
-        i = np.lexsort((ids, -d))[0]
-        chosen.append(np.round(V[i], 6))
+        for i in np.lexsort((ids, -d))[:take]:
+            chosen.append(np.round(V[i], 6))
     return [c.tolist() for c in chosen]
 
 
