@@ -556,3 +556,62 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     assert len(g) == len(e) > 20
     for c in ["conv_id", "n_turns", "roles"]:
         pd.testing.assert_series_equal(g[c], e[c], check_names=False)
+
+
+def test_streaming_embedding_ingest_srp_bucketing(spark, tmp_path):
+    """ANN composes with the streaming machinery: an embedding stream
+    gets its SRP bucket assigned in-flight (stateless Arrow map — the
+    index-build shape: at scale the sink partitions by bucket) and
+    lands in the exactly-once sink; bucket assignments are identical
+    to the batch path on the same rows."""
+    import numpy as np
+
+    from dbus_spark.operators.similarity import lsh_bucket
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype="int64"),
+            # keep float32 ndarrays: .tolist() would upcast to python
+            # floats and parquet DOUBLE, mismatching the stream schema
+            "embedding": [
+                rng.standard_normal(64).astype("float32")
+                for _ in range(200)
+            ],
+        }
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(4):
+        pdf.iloc[i * 50 : (i + 1) * 50].to_parquet(
+            in_dir / f"batch-{i:05d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    bucketed = lsh_bucket(src, dim=64)
+    sink = IdempotentKeyedSink(
+        str(tmp_path / "out"), keys=["vec_id"],
+        key_types={"vec_id": "long"}, dedup_mode="epoch_overwrite",
+    )
+    q = (
+        bucketed.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = spark.read.parquet(str(tmp_path / "out" / "data")).drop("batch")
+    batch = lsh_bucket(
+        spark.createDataFrame(pdf, "vec_id long, embedding array<float>"),
+        dim=64,
+    ).select("vec_id", "bucket")
+    g = {(r.vec_id, r.bucket) for r in got.select("vec_id", "bucket").collect()}
+    e = {(r.vec_id, r.bucket) for r in batch.collect()}
+    assert g == e and len(g) == 200
