@@ -205,6 +205,24 @@ def ivf_centroids(
     return c.tolist()
 
 
+def _kpp_top(
+    V: np.ndarray, ids: np.ndarray, C: np.ndarray, take: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices of the ``take`` best k-means++ candidates in (V,
+    ids) against chosen centroids C: largest min-cosine-distance,
+    exact ties to the smaller id; returns (indices, all-row d). The
+    ONE implementation both the
+    distributed partial and the local replica call — the bit-for-bit
+    Spark/oracle centroid parity is by construction, not by keeping
+    two copies in sync (review finding)."""
+    sims = _fold_dots(V, C) / (
+        np.linalg.norm(V, axis=1)[:, None]
+        * np.linalg.norm(C, axis=1)[None, :]
+    )
+    d = 1.0 - sims.max(axis=1)
+    return np.lexsort((ids, -d))[:take], d
+
+
 def kmeanspp_init(
     df: DataFrame,
     dim: int,
@@ -236,6 +254,11 @@ def kmeanspp_init(
         .limit(1)
         .collect()[0][0]
     )
+    if len(first) != dim:
+        raise ValueError(
+            f"kmeanspp_init: dim={dim} but {vec_col} vectors have "
+            f"{len(first)} components"
+        )
     chosen = [np.round(np.asarray(first, dtype=np.float64), 6)]
 
     while len(chosen) < n_centroids:
@@ -249,12 +272,7 @@ def kmeanspp_init(
                     continue
                 V = _stack(pdf[vec_col])
                 ids = pdf[id_col].to_numpy()
-                sims = _fold_dots(V, C) / (
-                    np.linalg.norm(V, axis=1)[:, None]
-                    * np.linalg.norm(C, axis=1)[None, :]
-                )
-                d = 1.0 - sims.max(axis=1)
-                top = np.lexsort((ids, -d))[:take]
+                top, d = _kpp_top(V, ids, C, take)
                 rows.append(
                     pd.DataFrame(
                         {
@@ -288,12 +306,8 @@ def kmeanspp_init_local(
     while len(chosen) < n_centroids:
         C = np.stack(chosen)
         take = min(batch, n_centroids - len(chosen))
-        sims = _fold_dots(V, C) / (
-            np.linalg.norm(V, axis=1)[:, None]
-            * np.linalg.norm(C, axis=1)[None, :]
-        )
-        d = 1.0 - sims.max(axis=1)
-        for i in np.lexsort((ids, -d))[:take]:
+        top, _ = _kpp_top(V, ids, C, take)
+        for i in top:
             chosen.append(np.round(V[i], 6))
     return [c.tolist() for c in chosen]
 
@@ -398,6 +412,11 @@ def kmeans_centroids_local(
     dim = V.shape[1]
     V = V.astype(np.float64)
     if init == "kpp":
+        if ids is None:
+            raise ValueError(
+                "kmeans_centroids_local: init='kpp' requires the ids "
+                "array (the tie-break key of the candidate selection)"
+            )
         C = np.asarray(
             kmeanspp_init_local(V, ids, n_centroids), dtype=np.float64
         )
@@ -642,13 +661,18 @@ def neardup_pairs_lsh(
         df, dim, n_tables, planes_per_table, seed, id_col, vec_col
     )
     if max_bucket is not None:
-        small = (
-            tb.groupBy("tbl", "bucket")
-            .agg(F.count("*").alias("_n"))
+        # window count, not groupBy+semi-join: the cap rides the SAME
+        # (tbl, bucket) shuffle the pair join needs — a semi-join form
+        # would re-evaluate the whole projection subtree for both the
+        # aggregate branch and the probe side (review finding)
+        tb = (
+            tb.withColumn(
+                "_n",
+                F.count("*").over(Window.partitionBy("tbl", "bucket")),
+            )
             .filter(F.col("_n") <= max_bucket)
-            .select("tbl", "bucket")
+            .drop("_n")
         )
-        tb = tb.join(small, on=["tbl", "bucket"], how="left_semi")
     a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(b, on=["tbl", "bucket"])

@@ -249,7 +249,11 @@ def test_kmeanspp_init_spark_matches_local_and_lifts_recall(spark):
     pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     V = np.stack(pdf["embedding"].to_numpy())
     ids = pdf["vec_id"].to_numpy()
-    cs = S.kmeans_centroids(emb, dim=64, n_centroids=16, n_iter=5, init="kpp")
+    # 32 partitions: the cross-partition candidate merge (per-
+    # partition top-take -> driver top-take) is genuinely exercised
+    cs = S.kmeans_centroids(
+        emb.repartition(32), dim=64, n_centroids=16, n_iter=5, init="kpp"
+    )
     cl = S.kmeans_centroids_local(V, n_centroids=16, n_iter=5, init="kpp", ids=ids)
     assert cs == cl
 
