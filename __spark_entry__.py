@@ -425,6 +425,16 @@ def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=50)
 
 
+def _doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TX.gopher_quality(docs)
+
+
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TX.repetition_metrics(docs)
+
+
 def _emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
@@ -587,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_neardup": _doc_simhash_neardup,
         "doc_simhash_neardup_full": _doc_simhash_neardup_full,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
+        "doc_gopher_quality": _doc_gopher_quality,
+        "doc_repetition": _doc_repetition,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
@@ -1075,6 +1087,36 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
             "GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh "
             "HAVING COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) > 0.2"
+        ),
+        "doc_gopher_quality": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, "
+            "  string_split(text, chr(10)) AS lines FROM documents) "
+            "SELECT doc_id, "
+            "ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 "
+            "  / len(toks), 4) AS symbol_word_ratio, "
+            "ROUND(len(list_filter(toks, x -> NOT regexp_matches(x, "
+            "  '[A-Za-z]'))) * 1.0 / len(toks), 4) AS frac_no_alpha_words, "
+            "ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 "
+            "  / len(toks), 4) AS mean_word_len, "
+            "ROUND(1 - len(list_distinct(lines)) * 1.0 / len(lines), 4) "
+            "  AS frac_duplicate_lines "
+            "FROM t"
+        ),
+        "doc_repetition": (
+            f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS g FROM tk), "
+            "up AS (SELECT doc_id, g, COUNT(*) AS n FROM uni GROUP BY 1, 2), "
+            "us AS (SELECT doc_id, ROUND(MAX(n) * 1.0 / SUM(n), 4) "
+            "  AS top_token_share FROM up GROUP BY 1), "
+            "bg AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN "
+            "  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] "
+            "  ELSE [] END AS bs FROM tk), "
+            "bu AS (SELECT doc_id, unnest(bs) AS g FROM bg), "
+            "bp AS (SELECT doc_id, g, COUNT(*) AS n FROM bu GROUP BY 1, 2), "
+            "bs2 AS (SELECT doc_id, ROUND(MAX(n) * 1.0 / SUM(n), 4) "
+            "  AS top_bigram_share FROM bp GROUP BY 1) "
+            "SELECT us.doc_id, us.top_token_share, bs2.top_bigram_share "
+            "FROM us LEFT JOIN bs2 USING (doc_id)"
         ),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS qv "

@@ -50,6 +50,8 @@ BATCH_QUERIES = [
     "doc_simhash_neardup",
     "doc_simhash_neardup_full",
     "doc_jaccard_pairs",
+    "doc_gopher_quality",
+    "doc_repetition",
     "emb_knn",
     "emb_neardup",
     "emb_neardup_lsh",

@@ -91,6 +91,79 @@ def token_count_bpe(col: str | Column = "text") -> Column:
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
+def gopher_quality(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape filters (Rae et al. 2021, the
+    public crawl-filter recipe), the map-side subset — everything here
+    is one pass of Catalyst expressions per document, no shuffle:
+
+    - ``symbol_word_ratio``: hash/ellipsis-style symbols per word
+      (Gopher drops > 0.1);
+    - ``frac_no_alpha_words``: words containing no alphabetic char
+      (Gopher keeps >= 80% WITH an alpha char);
+    - ``mean_word_len``: Gopher keeps 3..10;
+    - ``frac_duplicate_lines``: 1 - distinct/total newline-split lines
+      (Gopher drops > 0.3; single-line docs score 0).
+
+    The keep/drop thresholds are the caller's policy; this emits the
+    measurements."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    lines = F.split(F.col(col), r"\n")
+    n_lines = F.size(lines)
+    n_symbols = F.regexp_count(F.col(col), F.lit(r"#|\.\.\.|…"))
+    no_alpha = F.size(F.filter(toks, lambda t: ~t.rlike("[A-Za-z]")))
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        "doc_id",
+        F.round(n_symbols / n_words, 4).alias("symbol_word_ratio"),
+        F.round(no_alpha / n_words, 4).alias("frac_no_alpha_words"),
+        F.round(word_chars / n_words, 4).alias("mean_word_len"),
+        F.round(
+            1 - F.size(F.array_distinct(lines)) / n_lines, 4
+        ).alias("frac_duplicate_lines"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Repetition share metrics (the Gopher top-n-gram rules): the
+    fraction of tokens taken by the single most frequent token, and of
+    word bigrams by the most frequent bigram (Gopher drops docs whose
+    top 2-gram exceeds 0.20 of the text). Distributed form: explode →
+    per-(doc, gram) count → per-doc max/sum — two combiner-friendly
+    aggregations sharing the (doc-keyed) shuffle; never a pair join."""
+    toks = tokens(col)
+    uni = df.select(F.col(id_col), F.explode(toks).alias("g"))
+
+    # bind the token array as a lambda VARIABLE (singleton-array
+    # transform): referencing the split expression inside the bigram
+    # lambda would re-tokenize the text once per bigram (the winnow
+    # O(n²) inlining trap)
+    def _bigrams(tk: Column) -> Column:
+        idx = F.when(
+            F.size(tk) >= 2, F.sequence(F.lit(0), F.size(tk) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1))
+        )
+
+    bi_arr = F.get(F.transform(F.array(toks), _bigrams), 0)
+    bi = df.select(F.col(id_col), F.explode_outer(bi_arr).alias("g"))
+
+    def share(ex):
+        per = ex.groupBy(id_col, "g").agg(F.count("*").alias("n"))
+        return per.groupBy(id_col).agg(
+            F.round(F.max("n") / F.sum("n"), 4).alias("share")
+        )
+
+    u = share(uni).withColumnRenamed("share", "top_token_share")
+    b = share(bi).withColumnRenamed("share", "top_bigram_share")
+    return u.join(b, on=id_col, how="left")
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Normalized document fingerprint: md5 of the
     lowercased, whitespace-collapsed text."""

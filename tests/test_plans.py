@@ -266,3 +266,20 @@ def test_kmeanspp_init_spark_matches_local_and_lifts_recall(spark):
     r_seed = len(pairs(S.knn_ivf(emb32, query_ids=[0, 1, 2, 3, 4], dim=64, k=3, centroids=seeded_cents)) & bf)
     r_kpp = len(pairs(S.knn_ivf(emb32, query_ids=[0, 1, 2, 3, 4], dim=64, k=3, centroids=cs)) & bf)
     assert r_kpp >= r_seed
+
+
+def test_gopher_and_repetition_plan_shapes(spark):
+    """gopher_quality must stay map-side (no Exchange: one codegen'd
+    pass per doc); repetition_metrics is two combiner-friendly
+    aggregations, never a pair join."""
+    g = entrymod.queries()["doc_gopher_quality"](spark, SF_DIR)
+    gplan = _plan(g)
+    # the only exchange allowed is the _docs() repartition policy knob
+    # (each physical node appears as a "+- Name"/"Name (" tree line
+    # plus a numbered detail header — count tree lines only)
+    assert gplan.count("+- Exchange") <= 1
+    assert "Join" not in gplan
+    r = entrymod.queries()["doc_repetition"](spark, SF_DIR)
+    rplan = _plan(r)
+    assert "CartesianProduct" not in rplan
+    assert rplan.count("HashAggregate") >= 4  # partial+final x 2 metrics
