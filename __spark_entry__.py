@@ -319,6 +319,21 @@ def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p95/p99 of value per event type)
+    - the OLAP latency-percentile staple. F.percentile is the exact
+    linear-interpolation form (matches DuckDB quantile_cont to the
+    bit); at 100 TB swap percentile_approx (t-digest, mergeable
+    map-side sketch) where exactness is not contractual."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def _event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
@@ -583,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_seq": _ordered_seq,
         "topk_per_user": _topk_per_user,
         "event_json": _event_json,
+        "event_quantiles": _event_quantiles,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
@@ -958,6 +974,13 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "SELECT event_id, to_json(struct_pack("
             "event_id := event_id, event_type := event_type, "
             "user_id := user_id)) AS js FROM events"
+        ),
+        "event_quantiles": (
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
+            "ROUND(quantile_cont(value, 0.99), 4) AS p99, "
+            "COUNT(*) AS n FROM events GROUP BY 1"
         ),
         "doc_exact_dedup": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "

@@ -36,6 +36,7 @@ BATCH_QUERIES = [
     "ordered_seq",
     "topk_per_user",
     "event_json",
+    "event_quantiles",
     "doc_exact_dedup",
     "doc_token_count",
     "doc_quality",
