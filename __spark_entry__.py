@@ -334,6 +334,39 @@ def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total in one pass over
+    the fact table) with grouping_id disambiguating the null
+    placeholder rows - the OLAP cube staple; Catalyst expands it to a
+    single Expand + hash aggregate, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def _customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window frame (cumulative spend per customer
+    in order date order) - the frame-based window form the engine's
+    ordering/top-k queries don't otherwise cover. Summation order is
+    the (date, key) sort in BOTH engines, so doubles agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_spend"),
+    )
+
+
 def _event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
@@ -599,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": _topk_per_user,
         "event_json": _event_json,
         "event_quantiles": _event_quantiles,
+        "sales_rollup": _sales_rollup,
+        "customer_running_spend": _customer_running_spend,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
@@ -981,6 +1016,19 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
             "ROUND(quantile_cont(value, 0.99), 4) AS p99, "
             "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "sales_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "GROUPING(o_orderpriority, o_orderstatus) AS gid "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+        ),
+        "customer_running_spend": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
+            "AS run_spend FROM orders"
         ),
         "doc_exact_dedup": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "

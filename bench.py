@@ -37,6 +37,8 @@ BATCH_QUERIES = [
     "topk_per_user",
     "event_json",
     "event_quantiles",
+    "sales_rollup",
+    "customer_running_spend",
     "doc_exact_dedup",
     "doc_token_count",
     "doc_quality",
