@@ -367,6 +367,43 @@ def _customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q3_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape on the available columns: 3-way fact join with
+    selective predicates on every side (segment, order date, ship
+    date) - Catalyst pushes each filter below its join to the parquet
+    scan, and the revenue expression folds into the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def _customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (NOT EXISTS): customers with no order above
+    the price threshold - plans as a broadcast/shuffled anti hash
+    join, never a subquery-per-row."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
 def _event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
@@ -634,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": _event_quantiles,
         "sales_rollup": _sales_rollup,
         "customer_running_spend": _customer_running_spend,
+        "tpch_q3_lite": _tpch_q3_lite,
+        "customers_no_big_orders": _customers_no_big_orders,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
@@ -1029,6 +1068,21 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "ORDER BY o_orderdate, o_orderkey "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS run_spend FROM orders"
+        ),
+        "tpch_q3_lite": (
+            "SELECT o_orderkey, o_orderdate, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < DATE '1995-03-15' "
+            "AND l_shipdate > DATE '1995-03-15' "
+            "GROUP BY 1, 2"
+        ),
+        "customers_no_big_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)"
         ),
         "doc_exact_dedup": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "

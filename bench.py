@@ -39,6 +39,8 @@ BATCH_QUERIES = [
     "event_quantiles",
     "sales_rollup",
     "customer_running_spend",
+    "tpch_q3_lite",
+    "customers_no_big_orders",
     "doc_exact_dedup",
     "doc_token_count",
     "doc_quality",

@@ -283,3 +283,16 @@ def test_gopher_and_repetition_plan_shapes(spark):
     rplan = _plan(r)
     assert "CartesianProduct" not in rplan
     assert rplan.count("HashAggregate") >= 4  # partial+final x 2 metrics
+
+
+def test_q3_filters_push_below_joins(spark):
+    """The selective predicates must reach their parquet scans below
+    the joins (classic pushdown-through-join), and the anti-join must
+    plan as a hash anti join, not a per-row subquery."""
+    q = entrymod.queries()["tpch_q3_lite"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    a = entrymod.queries()["customers_no_big_orders"](spark, SF_DIR)
+    aplan = _plan(a)
+    assert "LeftAnti" in aplan
