@@ -520,6 +520,28 @@ def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_metrics(docs)
 
 
+def _corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture report every LLM pipeline publishes: docs and
+    chars per (lang, source) plus each cell's share of the corpus. The
+    global share window runs over the AGGREGATED frame (langs x
+    sources rows), not the corpus - the single-partition window is a
+    few dozen rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 4
+        ).alias("corpus_share"),
+    )
+
+
 def _emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
@@ -689,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_gopher_quality": _doc_gopher_quality,
         "doc_repetition": _doc_repetition,
+        "corpus_mixture": _corpus_mixture,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
@@ -1242,6 +1265,13 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "  AS top_bigram_share FROM bp GROUP BY 1) "
             "SELECT us.doc_id, us.top_token_share, bs2.top_bigram_share "
             "FROM us LEFT JOIN bs2 USING (doc_id)"
+        ),
+        "corpus_mixture": (
+            "WITH a AS (SELECT lang, source, COUNT(*) AS n_docs, "
+            "  SUM(n_chars) AS n_chars_total FROM documents GROUP BY 1, 2) "
+            "SELECT lang, source, n_docs, n_chars_total, "
+            "ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS corpus_share "
+            "FROM a"
         ),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS qv "

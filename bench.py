@@ -57,6 +57,7 @@ BATCH_QUERIES = [
     "doc_jaccard_pairs",
     "doc_gopher_quality",
     "doc_repetition",
+    "corpus_mixture",
     "emb_knn",
     "emb_neardup",
     "emb_neardup_lsh",
