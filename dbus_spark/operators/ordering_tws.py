@@ -94,9 +94,16 @@ class _OrderedTurnsProcessor(StatefulProcessor):
 
         deadline = wm + self._flush_after_ms
         self._meta.update((next_idx + n_emit, deadline))
-        self._pending.put(
-            [tuple(r) for r in rest[_COLS].itertuples(index=False)]
-        )
+        if len(rest):
+            self._pending.put(
+                [tuple(r) for r in rest[_COLS].itertuples(index=False)]
+            )
+        else:
+            # Spark's ListState.put rejects empty lists
+            # (ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE) — clear is
+            # the empty-buffer form (review finding; the fake handle in
+            # tests now mirrors the rejection so this can't regress)
+            self._pending.clear()
         if old_deadline is not None and old_deadline != deadline:
             self._handle.deleteTimer(old_deadline)
         self._handle.registerTimer(deadline)

@@ -151,7 +151,14 @@ def repetition_metrics(
         )
 
     bi_arr = F.get(F.transform(F.array(toks), _bigrams), 0)
-    bi = df.select(F.col(id_col), F.explode_outer(bi_arr).alias("g"))
+    # explode_outer (not explode: the InferFiltersFromGenerate
+    # re-evaluation trap) emits a NULL gram for docs with < 2 tokens —
+    # drop it AFTER the generate, or the NULL group counts as a real
+    # bigram and top_bigram_share reads 1.0 instead of NULL for such
+    # docs (review finding: diverged from the oracle on 1-token docs)
+    bi = df.select(
+        F.col(id_col), F.explode_outer(bi_arr).alias("g")
+    ).filter(F.col("g").isNotNull())
 
     def share(ex):
         per = ex.groupBy(id_col, "g").agg(F.count("*").alias("n"))

@@ -504,3 +504,18 @@ def test_neardup_lsh_max_bucket_caps_hot_cells(spark):
     assert capped <= full
     assert (100, 101) in capped and (200, 201) in capped  # sparse pairs kept
     assert len(capped) < len(full)  # the clump's cells were pruned
+
+
+def test_repetition_metrics_short_docs_null_bigram_share(spark):
+    """Review fix pinned: docs with < 2 tokens have NO bigrams — the
+    share must be NULL (as the SQL oracle computes), not 1.0 from the
+    exploded-NULL placeholder row being counted as a gram."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "two words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.top_token_share, r.top_bigram_share)
+           for r in TX.repetition_metrics(df).collect()}
+    assert got[1] == (1.0, None)
+    assert got[2] == (1.0, None)  # "" tokenizes to one empty token
+    assert got[3][1] == 0.5  # 2 bigrams, each once

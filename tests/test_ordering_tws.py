@@ -36,7 +36,14 @@ class FakeListState:
         return iter(list(self._rows))
 
     def put(self, rows):
-        self._rows = list(rows)
+        rows = list(rows)
+        if not rows:
+            # mirror Spark's ListStateImpl: put([]) throws
+            # ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE — the fake
+            # must reject it too or the unit tests cannot catch the
+            # crash a real cluster would hit (review finding)
+            raise ValueError("empty list value is not allowed")
+        self._rows = rows
 
     def clear(self):
         self._rows = []
@@ -98,16 +105,26 @@ def _mk():
 
 def _feed(p, idxs, wm=0):
     out = list(p.handleInputRows(("c1",), iter([_rows(idxs)]), FakeTimerValues(wm)))
-    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(columns=["conv_id", *_COLS])
+    # typed empty frame: a dtype-less placeholder in a later concat
+    # hits pandas' changing empty/all-NA concat semantics (the same
+    # guard production code carries in ordering._advance_bucket)
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else _rows([]).iloc[0:0][["conv_id", *_COLS]]
+    )
 
 
 def test_contiguous_emission_and_buffering():
     p, h = _mk()
     got = _feed(p, [0, 2, 1, 4])
     assert list(got["turn_idx"]) == [0, 1, 2]  # contiguous prefix only
-    got = _feed(p, [3])
+    got = _feed(p, [3], wm=500)
     assert list(got["turn_idx"]) == [3, 4]  # gap closed, buffer drains
-    assert h.timers == {1_000}  # one live deadline, old one replaced
+    # the wm advanced, so the new deadline differs and the old timer
+    # must have been DELETED, not leaked (a stale timer would fire
+    # early and clear live state on a real cluster)
+    assert h.timers == {1_500}
 
 
 def test_redelivery_is_filtered():
@@ -148,7 +165,9 @@ def test_equivalence_with_bucketed_core_on_random_sequences():
     p, h = _mk()
     tws_rows = []
     for b in batches:
-        tws_rows.append(_feed(p, b))
+        got = _feed(p, b)
+        if len(got):
+            tws_rows.append(got)
     out = list(
         p.handleExpiredTimer(("c1",), FakeTimerValues(10_000), FakeExpiredTimerInfo(1_000))
     )
@@ -158,8 +177,7 @@ def test_equivalence_with_bucketed_core_on_random_sequences():
     meta, pending = _empty_meta(), _empty_pending()
     bk_rows = []
     for b in batches:
-        new = _rows(b).rename(columns={})
-        new["conv_id"] = "c1"
+        new = _rows(b)
         emit, meta, pending = _advance_bucket(meta, pending, new, 60_000)
         if len(emit):
             bk_rows.append(emit)
