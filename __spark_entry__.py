@@ -463,6 +463,13 @@ def _doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_fingerprints(docs)
 
 
+def _doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MOSS match step: near-verbatim overlap pairs via shared
+    # winnowing fingerprints (df-cut on boilerplate fps before pairing)
+    docs = _docs(spark, sf_dir)
+    return D.winnow_match_pairs(docs, min_shared=2, max_df=50)
+
+
 def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sig = D.minhash_signature(docs, n_hashes=16)
@@ -702,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "doc_token_bpe": _doc_token_bpe,
         "doc_winnow": _doc_winnow,
+        "doc_winnow_pairs": _doc_winnow_pairs,
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
         "doc_simhash": _doc_simhash,
@@ -1158,6 +1166,25 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "  ELSE [] END AS fps FROM h) "
             "SELECT doc_id, unnest(CASE WHEN len(fps) = 0 "
             "THEN [NULL::BIGINT] ELSE fps END) AS fp FROM m"
+        ),
+        "doc_winnow_pairs": (
+            r"WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), "
+            r"'\s+', ' ', 'g') AS t FROM documents), "
+            "h AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN "
+            "  [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT "
+            "   for i in range(1, len(t) - 6)] "
+            "  ELSE [] END AS hs FROM nm), "
+            "m AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "  list_distinct([list_min(hs[j:j+3]) "
+            "                 for j in range(1, len(hs) - 2)]) "
+            "  ELSE [] END AS fps FROM h), "
+            "ex AS (SELECT doc_id, unnest(fps) AS fp FROM m), "
+            "rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 50), "
+            "exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS n_shared "
+            "FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
         ),
         "doc_minhash": (
             _minhash_sig_cte()

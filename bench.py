@@ -48,6 +48,7 @@ BATCH_QUERIES = [
     "doc_fingerprint",
     "doc_token_bpe",
     "doc_winnow",
+    "doc_winnow_pairs",
     "doc_minhash",
     "doc_lsh_pairs",
     "doc_simhash",

@@ -288,6 +288,53 @@ def winnow_fingerprints(
     )
 
 
+def winnow_match_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The MOSS match step over :func:`winnow_fingerprints`: pairs of
+    documents sharing at least ``min_shared`` selected fingerprints,
+    with the shared count — near-verbatim overlap detection (any
+    common substring of length ≥ w+k-1 is guaranteed to surface at
+    least one shared fingerprint). Same distributed geometry as the
+    shingle-Jaccard join: shuffle on fingerprint, ``max_df`` cuts
+    non-discriminative hot fingerprints (boilerplate shared by many
+    docs) before the pair blowup, count aggregation on the (small)
+    pair set."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn).filter(
+        F.col("fp").isNotNull()
+    )
+    fps = fps.persist()
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, on="fp", how="left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    out = (
+        a.join(b, on="fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    out = out.localCheckpoint(eager=True)  # release the shared scan
+    fps.unpersist()
+    return out
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
