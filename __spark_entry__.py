@@ -527,6 +527,11 @@ def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_metrics(docs)
 
 
+def _doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TX.char_entropy(docs)
+
+
 def _corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-mixture report every LLM pipeline publishes: docs and
     chars per (lang, source) plus each cell's share of the corpus. The
@@ -720,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": _doc_gopher_quality,
         "doc_repetition": _doc_repetition,
         "corpus_mixture": _corpus_mixture,
+        "doc_char_entropy": _doc_char_entropy,
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
@@ -1292,6 +1298,12 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "  AS top_bigram_share FROM bp GROUP BY 1) "
             "SELECT us.doc_id, us.top_token_share, bs2.top_bigram_share "
             "FROM us LEFT JOIN bs2 USING (doc_id)"
+        ),
+        "doc_char_entropy": (
+            "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+            "FROM documents) "
+            "SELECT doc_id, ROUND(entropy(ch), 4) AS char_entropy "
+            "FROM c WHERE len(ch) > 0 GROUP BY 1"
         ),
         "corpus_mixture": (
             "WITH a AS (SELECT lang, source, COUNT(*) AS n_docs, "

@@ -59,6 +59,7 @@ BATCH_QUERIES = [
     "doc_gopher_quality",
     "doc_repetition",
     "corpus_mixture",
+    "doc_char_entropy",
     "emb_knn",
     "emb_neardup",
     "emb_neardup_lsh",

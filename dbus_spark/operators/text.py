@@ -171,6 +171,29 @@ def repetition_metrics(
     return u.join(b, on=id_col, how="left")
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Shannon character entropy per document (bits) — the cheap
+    gibberish/low-information filter (base64 blobs and keyboard mash
+    score high, repeated-character padding scores near zero; natural
+    text sits ~4-4.5 bits). Distributed form: explode characters →
+    per-(doc, char) count → per-doc ``log2(N) - Σ n·log2(n) / N``,
+    two combiner-friendly aggregations, all JVM (identical to DuckDB's
+    native ``entropy()`` aggregate, which the oracle uses)."""
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(col), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    per = ch.groupBy(id_col, "ch").agg(F.count("*").alias("n"))
+    return per.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+            4,
+        ).alias("char_entropy")
+    )
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Normalized document fingerprint: md5 of the
     lowercased, whitespace-collapsed text."""
