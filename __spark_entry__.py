@@ -487,6 +487,13 @@ def _doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(docs, n_hashes=16, n_bands=4)
 
 
+def _doc_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MinHash payoff: per-candidate Jaccard ESTIMATE from signature
+    # agreement - sketch-resident, documents never re-read
+    docs = _docs(spark, sf_dir)
+    return D.lsh_estimated_jaccard(docs, n_hashes=16, n_bands=4)
+
+
 def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return D.simhash(docs)
@@ -717,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": _doc_winnow_pairs,
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
+        "doc_lsh_est_jaccard": _doc_lsh_est_jaccard,
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_neardup": _doc_simhash_neardup,
@@ -1203,6 +1211,19 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ("
             "  a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8] "
             "  OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])"
+        ),
+        "doc_lsh_est_jaccard": (
+            _minhash_sig_cte()
+            + " , cand AS (SELECT DISTINCT a.doc_id AS id_a, "
+            "b.doc_id AS id_b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ("
+            "  a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8] "
+            "  OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])) "
+            "SELECT c.id_a, c.id_b, "
+            "ROUND(len(list_filter(range(1, 17), "
+            "  i -> x.sg[i] = y.sg[i])) / 16.0, 4) AS est_jaccard "
+            "FROM cand c JOIN sig x ON x.doc_id = c.id_a "
+            "JOIN sig y ON y.doc_id = c.id_b"
         ),
         "doc_simhash": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "

@@ -51,6 +51,7 @@ BATCH_QUERIES = [
     "doc_winnow_pairs",
     "doc_minhash",
     "doc_lsh_pairs",
+    "doc_lsh_est_jaccard",
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_neardup",

@@ -519,3 +519,26 @@ def test_repetition_metrics_short_docs_null_bigram_share(spark):
     assert got[1] == (1.0, None)
     assert got[2] == (1.0, None)  # "" tokenizes to one empty token
     assert got[3][1] == 0.5  # 2 bigrams, each once
+
+
+def test_lsh_estimated_jaccard_tracks_exact(spark):
+    """The signature-agreement estimate must track the exact Jaccard
+    on the candidate pairs (E[est] = J; 16 hashes -> sigma ~ 0.125):
+    mean absolute error under 0.15 and every estimate within 0.45."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).repartition(32)
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.lsh_estimated_jaccard(docs, n_hashes=16).collect()
+    }
+    assert len(est) > 10
+    ss = _shingle_sets(docs)
+
+    def jac(a, b):
+        sa, sb = ss[a], ss[b]
+        return len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+
+    errs = [abs(v - jac(*p)) for p, v in est.items()]
+    assert sum(errs) / len(errs) < 0.15
+    assert max(errs) < 0.45
