@@ -307,18 +307,22 @@ def winnow_match_pairs(
     non-discriminative hot fingerprints (boilerplate shared by many
     docs) before the pair blowup, count aggregation on the (small)
     pair set."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn).filter(
+    # keep the PERSISTED reference separate from the df-cut rebinding:
+    # unpersisting the semi-joined frame would be a no-op and leak the
+    # cached fingerprint blocks into the session (review finding,
+    # confirmed via getRDDStorageInfo)
+    base = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn).filter(
         F.col("fp").isNotNull()
-    )
-    fps = fps.persist()
+    ).persist()
+    fps = base
     if max_df is not None:
         rare = (
-            fps.groupBy("fp")
+            base.groupBy("fp")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df)
             .select("fp")
         )
-        fps = fps.join(rare, on="fp", how="left_semi")
+        fps = base.join(rare, on="fp", how="left_semi")
     a, b = fps.alias("a"), fps.alias("b")
     out = (
         a.join(b, on="fp")
@@ -331,7 +335,7 @@ def winnow_match_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     out = out.localCheckpoint(eager=True)  # release the shared scan
-    fps.unpersist()
+    base.unpersist()
     return out
 
 
@@ -509,20 +513,15 @@ def minhash_signature(
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 16,
-    n_bands: int = 4,
-    shingle_n: int = 3,
-    hash_fn: str = "md5",
+def _band_candidates(
+    sigs: DataFrame, n_hashes: int, n_bands: int, id_col: str
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: split the signature into bands,
-    bucket-join on (band_idx, band values). Shuffle volume is
-    |docs|·n_bands, and only same-bucket docs ever meet."""
+    """Banded LSH candidate generation over a signature frame: explode
+    each signature into (band, band-values) rows, bucket-join, emit
+    distinct (id_a < id_b) pairs. The ONE implementation behind both
+    ``lsh_candidate_pairs`` and ``lsh_estimated_jaccard`` — a banding
+    change cannot silently diverge their candidate sets."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, hash_fn)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -551,6 +550,22 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into bands,
+    bucket-join on (band_idx, band values). Shuffle volume is
+    |docs|·n_bands, and only same-bucket docs ever meet."""
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, hash_fn)
+    return _band_candidates(sigs, n_hashes, n_bands, id_col)
+
+
 def lsh_estimated_jaccard(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -571,33 +586,7 @@ def lsh_estimated_jaccard(
     sigs = minhash_signature(
         df, id_col, text_col, n_hashes, shingle_n, hash_fn
     ).persist()
-    rows_per_band = n_hashes // n_bands
-    bands = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice(
-                            "sig", b * rows_per_band + 1, rows_per_band
-                        ).alias("vals"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.vals")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, on=["band", "vals"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = _band_candidates(sigs, n_hashes, n_bands, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
     agree = F.size(

@@ -542,3 +542,19 @@ def test_lsh_estimated_jaccard_tracks_exact(spark):
     errs = [abs(v - jac(*p)) for p, v in est.items()]
     assert sum(errs) / len(errs) < 0.15
     assert max(errs) < 0.45
+
+
+def test_winnow_match_pairs_releases_its_cache(spark):
+    """Review fix pinned: the df-cut rebinding must not orphan the
+    persisted fingerprint frame — after the call returns, no cached
+    RDD beyond the (GC-tracked) localCheckpoint block remains."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).repartition(32)
+    sc = spark.sparkContext
+    before = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    D.winnow_match_pairs(docs, min_shared=2, max_df=50).count()
+    after = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    # at most the localCheckpoint block survives (it is GC-cleaned);
+    # the leaked form left TWO extra entries
+    assert after - before <= 1
