@@ -1328,7 +1328,8 @@ def _oracle_sql_all() -> dict[str, str | None]:
         ),
         "corpus_mixture": (
             "WITH a AS (SELECT lang, source, COUNT(*) AS n_docs, "
-            "  SUM(n_chars) AS n_chars_total FROM documents GROUP BY 1, 2) "
+            "  SUM(n_chars)::BIGINT AS n_chars_total FROM documents "
+            "  GROUP BY 1, 2) "
             "SELECT lang, source, n_docs, n_chars_total, "
             "ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS corpus_share "
             "FROM a"

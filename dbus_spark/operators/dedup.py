@@ -428,6 +428,8 @@ def simhash_neardup_pairs_blocked(
     buckets sparse.
     All JVM: the sketch rides through the bucket join so the hamming
     verify is a codegen'd ``bit_count(xor)``, no second join."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     n_blocks = max_hamming + 1
     block_bits = n_bits // n_blocks
     sk = simhash(df, id_col, text_col, n_bits, hash_fn)
@@ -619,10 +621,13 @@ def simhash(
     """SimHash sketch: bit j is the sign of the ±1 vote over all token
     hashes' j-th bits (token multiset, not distinct — classic SimHash).
     Single pass over the token array per row, no shuffle. ``n_bits``
-    up to 62 (the packed sketch must fit a signed long; a review
-    caught the old double-pow packing silently corrupting bits ≥ 53)."""
-    if not 1 <= n_bits <= 62:
-        raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
+    up to 60: the packed sketch must fit a signed long AND ``_hash_bits``
+    supplies at most 60 bits of entropy (15 md5 hex chars / pmod 2^60
+    on the xxhash64 path) — bits beyond the base hash's width would
+    always vote negative and sit permanently at zero, the same
+    degenerate-bit class the long-arithmetic packing fix addressed."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     toks = tokens(text_col)
     # hash each token once, then fold the ±1 bit votes
     hashes = F.transform(toks, lambda t: _hash_bits(t, n_bits, hash_fn))

@@ -121,12 +121,21 @@ def dedup_within_watermark(
 # One binary state cell per bucket holding (meta, pending): meta is a
 # frame indexed by conv_id with int64 columns (next_idx, deadline),
 # pending a frame [conv_id, *_COLS] of out-of-order rows. The wire
-# format is pickle-5 of PLAIN NUMPY ARRAYS (ids, int64 columns,
-# datetime64 ts, object strings) — ~20x cheaper than a per-conv JSON
-# round-trip, and version-stable: numpy's array pickle format is a
-# stable public contract, unlike pickled pandas objects whose internals
-# shift between pandas releases (a checkpoint must outlive library
-# upgrades). Frames are rebuilt from the arrays on load.
+# format is a 1-byte format-version tag followed by pickle-5 of PLAIN
+# NUMPY ARRAYS (ids, int64 columns, datetime64 ts, object strings) —
+# ~20x cheaper than a per-conv JSON round-trip, and version-stable:
+# numpy's array pickle format is a stable public contract, unlike
+# pickled pandas objects whose internals shift between pandas releases
+# (a checkpoint must outlive library upgrades). Frames are rebuilt
+# from the arrays on load. The version byte (0x01; a raw pickle blob
+# always starts with 0x80, so the tag is unambiguous) lets future
+# format changes resume old checkpoints; untagged blobs from earlier
+# releases — the 4-tuple-of-arrays form and the original
+# (meta, pending)-DataFrame form — are still decoded via fallback, so
+# a checkpoint written by any prior release resumes across upgrades.
+
+
+_STATE_FMT_V1 = b"\x01"
 
 
 def _empty_meta() -> pd.DataFrame:
@@ -151,7 +160,18 @@ def _empty_pending() -> pd.DataFrame:
 
 def _load(state) -> tuple[pd.DataFrame, pd.DataFrame]:
     (blob,) = state.get
-    ids, ni, dl, pend = pickle.loads(bytes(blob))
+    blob = bytes(blob)
+    if blob[:1] == _STATE_FMT_V1:
+        obj = pickle.loads(blob[1:])
+    else:
+        # legacy untagged checkpoint: raw pickle (starts 0x80) of either
+        # the 4-tuple-of-numpy-arrays form or the original
+        # (meta, pending) pandas 2-tuple
+        obj = pickle.loads(blob)
+        if isinstance(obj, tuple) and len(obj) == 2:
+            meta, pending = obj
+            return meta, pd.DataFrame(pending)
+    ids, ni, dl, pend = obj
     meta = pd.DataFrame(
         {"next_idx": ni, "deadline": dl}, index=pd.Index(ids, dtype=object)
     )
@@ -165,7 +185,7 @@ def _save(state, meta: pd.DataFrame, pending: pd.DataFrame) -> None:
         meta["deadline"].to_numpy("int64"),
         {c: pending[c].to_numpy() for c in pending.columns},
     )
-    state.update((pickle.dumps(payload, protocol=5),))
+    state.update((_STATE_FMT_V1 + pickle.dumps(payload, protocol=5),))
 
 
 def _advance_bucket(

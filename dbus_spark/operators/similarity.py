@@ -214,12 +214,20 @@ def _kpp_top(
     ONE implementation both the
     distributed partial and the local replica call — the bit-for-bit
     Spark/oracle centroid parity is by construction, not by keeping
-    two copies in sync (review finding)."""
-    sims = _fold_dots(V, C) / (
-        np.linalg.norm(V, axis=1)[:, None]
-        * np.linalg.norm(C, axis=1)[None, :]
-    )
+    two copies in sync (review finding). Zero-norm vectors (all-zero
+    embeddings) are pinned to distance 0 — similarity undefined, so
+    they must never be promoted to candidates; without the guard the
+    0/0 NaN propagates into lexsort, whose NaN ordering can
+    nondeterministically diverge the distributed trainer from the
+    local oracle replica (advisor finding)."""
+    nv = np.linalg.norm(V, axis=1)
+    nc = np.linalg.norm(C, axis=1)
+    denom = np.where(nv == 0, 1.0, nv)[:, None] * np.where(
+        nc == 0, 1.0, nc
+    )[None, :]
+    sims = _fold_dots(V, C) / denom
     d = 1.0 - sims.max(axis=1)
+    d = np.where(nv == 0, 0.0, d)
     return np.lexsort((ids, -d))[:take], d
 
 

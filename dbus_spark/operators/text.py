@@ -91,7 +91,9 @@ def token_count_bpe(col: str | Column = "text") -> Column:
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
-def gopher_quality(df: DataFrame, col: str = "text") -> DataFrame:
+def gopher_quality(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Gopher-style repetition/shape filters (Rae et al. 2021, the
     public crawl-filter recipe), the map-side subset — everything here
     is one pass of Catalyst expressions per document, no shuffle:
@@ -116,7 +118,7 @@ def gopher_quality(df: DataFrame, col: str = "text") -> DataFrame:
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
     return df.select(
-        "doc_id",
+        F.col(id_col),
         F.round(n_symbols / n_words, 4).alias("symbol_word_ratio"),
         F.round(no_alpha / n_words, 4).alias("frac_no_alpha_words"),
         F.round(word_chars / n_words, 4).alias("mean_word_len"),

@@ -45,6 +45,24 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used to mirror the driver's value hash: the
+    driver hashes materialized values, so an int64 column on one side
+    and a float64 (e.g. DuckDB HUGEINT -> float64) on the other hash
+    differently even when every value is numerically equal.  Width
+    differences (int32 vs int64) do NOT change the hash; sign/kind
+    does."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
 ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_QUERIES))
 
@@ -62,7 +80,31 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    # The driver's hash is dtype-class sensitive (int vs float vs str):
+    # a DuckDB HUGEINT sum materializing as float64 fails the driver
+    # even when values match, so fail here too (VERDICT r3 item #2).
+    kinds_got = {c: _dtype_kind(got[c]) for c in got.columns}
+    kinds_exp = {c: _dtype_kind(exp[c]) for c in exp.columns}
+    assert kinds_got == kinds_exp, (
+        f"{name}: dtype-class divergence (driver hash would fail): "
+        f"{ {c: (kinds_got[c], kinds_exp[c]) for c in kinds_got if kinds_got[c] != kinds_exp[c]} }"
+    )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_duckdb_hugeint_sum_materializes_float(duck):
+    """Regression pin for VERDICT r3 'what's wrong #1': DuckDB's
+    SUM(BIGINT) returns HUGEINT, which pandas materializes as float64
+    (662.0) while Spark emits bigint (662) — a driver value-hash fail
+    that rows/schema checks cannot see.  Every integer SUM in
+    oracle_sql() must therefore be cast ::BIGINT; this test keeps the
+    underlying DuckDB behavior (and the gate's sensitivity to it)
+    visible."""
+    uncast = duck.sql("SELECT SUM(n_chars) AS s FROM documents").df()
+    cast = duck.sql("SELECT SUM(n_chars)::BIGINT AS s FROM documents").df()
+    assert _dtype_kind(uncast["s"]) == "float"  # the trap
+    assert _dtype_kind(cast["s"]) == "int"  # the fix
+    assert _dtype_kind(uncast["s"]) != _dtype_kind(cast["s"])
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

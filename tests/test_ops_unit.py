@@ -464,6 +464,69 @@ def test_simhash_wide_sketch_exact_and_validated(spark):
     assert D.simhash(one, n_bits=60).collect()[0]["simhash"] == h60("solo")
     with _pytest.raises(ValueError):
         D.simhash(df, n_bits=63)
+    # 61-62 fit a signed long but exceed _hash_bits' 60 bits of
+    # entropy — bits 60-61 would sit permanently at zero (advisor)
+    with _pytest.raises(ValueError):
+        D.simhash(df, n_bits=61)
+    with _pytest.raises(ValueError):
+        D.simhash_neardup_pairs_blocked(df, n_bits=62)
+
+
+def test_ordering_state_wire_format_versioned_and_legacy():
+    """The bucket-state blob is version-tagged (0x01 + pickle); blobs
+    written by earlier releases — untagged 4-tuple-of-arrays and the
+    original (meta, pending) pandas 2-tuple — must still resume
+    (advisor: 'a checkpoint must outlive library upgrades')."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators import ordering as O
+
+    meta = pd.DataFrame(
+        {"next_idx": np.array([3], "int64"),
+         "deadline": np.array([99], "int64")},
+        index=pd.Index(["c1"], dtype=object),
+    )
+    pending = O._empty_pending()
+
+    class FakeState:
+        def __init__(self, blob=None):
+            self.blob = blob
+
+        @property
+        def get(self):
+            return (self.blob,)
+
+        def update(self, t):
+            (self.blob,) = t
+
+    # current format round-trips and is tagged
+    st = FakeState()
+    O._save(st, meta, pending)
+    assert st.blob[:1] == O._STATE_FMT_V1
+    m2, p2 = O._load(st)
+    pd.testing.assert_frame_equal(m2, meta)
+    assert len(p2) == 0
+
+    # legacy untagged 4-tuple of numpy arrays (r3 format)
+    legacy4 = pickle.dumps(
+        (
+            meta.index.to_numpy(dtype=object),
+            meta["next_idx"].to_numpy("int64"),
+            meta["deadline"].to_numpy("int64"),
+            {c: pending[c].to_numpy() for c in pending.columns},
+        ),
+        protocol=5,
+    )
+    m3, _ = O._load(FakeState(legacy4))
+    pd.testing.assert_frame_equal(m3, meta)
+
+    # legacy (meta, pending) pandas 2-tuple (r2 format)
+    legacy2 = pickle.dumps((meta, pending), protocol=5)
+    m4, _ = O._load(FakeState(legacy2))
+    pd.testing.assert_frame_equal(m4, meta)
 
 
 def test_asof_join_rejects_colliding_right_cols(spark):
