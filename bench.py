@@ -253,10 +253,7 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from dbus_spark.functions.vectorized import (
-        quality_score_v,
-        token_count_v,
-    )
+    from dbus_spark.functions.vectorized import doc_enrich_v
     from dbus_spark.operators.text import fingerprint
     from dbus_spark.sinks import IdempotentKeyedSink
 
@@ -284,16 +281,35 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
             big.iloc[chunk].to_parquet(
                 os.path.join(in_dir, f"batch-{i:05d}.parquet"), index=False
             )
+        # Stateful-stage sizing (the r3 profile: state-store commit was
+        # ~1.2-1.5 s of every ~2.5 s micro-batch — 32 per-partition
+        # store commits for ~5k keys is pure fixed overhead). Size the
+        # stateful shuffle to the STATE, not the CPU count: ~5k dedup
+        # keys want few, fat state partitions; a 100 TB run with 10^9
+        # keys raises this again (state partition count is baked into
+        # the checkpoint, so it's a per-pipeline launch decision).
+        # Small scan splits keep the pre-shuffle Arrow enrichment
+        # parallel even though each micro-batch is a single file.
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 << 10))
         src = (
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
         cleaned = (
-            src.withColumn("quality", quality_score_v(F.col("text")))
-            .withColumn("n_tokens", token_count_v(F.col("text")))
-            .filter("quality >= 0.3")
-            .withColumn("fp", fingerprint("text"))
+            # one Arrow pass for quality+tokens; the nondeterministic
+            # struct UDF keeps Catalyst from duplicating the enrichment
+            # under the filter (see functions/vectorized.doc_enrich_v)
+            src.withColumn("e", doc_enrich_v(F.col("text")))
+            .filter("e.quality >= 0.3")
+            .select("doc_id", "text", "ts", "e.quality", "e.n_tokens")
+            # xxhash64 mode: 8-byte state key + codegen hash (the md5
+            # mode exists for the DuckDB oracle; the r3 profile put
+            # ~half of every micro-batch in state-store commit)
+            .withColumn("fp", fingerprint("text", hash_fn="xxhash64"))
             # wider than the fixture's event-time span: dedup is global
             .withWatermark("ts", "2 hours")
             .dropDuplicatesWithinWatermark(["fp"])
@@ -326,6 +342,11 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
             "unique_docs": uniq,
         }
     finally:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        except NameError:
+            pass  # failed before the conf swap
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -349,13 +370,21 @@ def run_dryrun_route(spark, n_rows: int = 50_000_000) -> dict:
         .filter(build_matcher(["evt.0", "evt.2", "evt.4"]))
     )
     _noop(df)  # warm codegen + JIT
-    t0 = time.time()
-    _noop(df)
-    dt = time.time() - t0
+    # best-of-3: a single time.time() wrap is the only bench row with
+    # no repeat protection, and one neighbor-load spike on this shared
+    # box rewrote the r3 headline (1.76M rows/s recorded vs 8.9-94M
+    # measured quiet — VERDICT r3 'what's wrong #2')
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        _noop(df)
+        runs.append(time.time() - t0)
+    dt = min(runs)
     return {
         "rows": n_rows,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1),
+        "runs_sec": [round(r, 3) for r in runs],
     }
 
 

@@ -91,6 +91,43 @@ def quality_score_v(s: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+)
+def _doc_enrich_v(s: pd.Series) -> pd.DataFrame:
+    n_chars = s.str.len().clip(lower=1)
+    alpha = s.str.count(r"[A-Za-z]")
+    n_tok_raw = s.str.split().str.len().fillna(0)
+    n_tok = n_tok_raw.clip(lower=1)
+    mean_tok = (n_chars - n_tok + 1) / n_tok
+    len_band = ((n_chars >= 32) & (n_chars <= 100_000)).astype(float)
+    tok_band = ((mean_tok >= 2.0) & (mean_tok <= 12.0)).astype(float)
+    q = (
+        (0.4 * (alpha / n_chars) + 0.3 * len_band + 0.3 * tok_band)
+        .astype(float)
+        .round(4)
+    )
+    return pd.DataFrame(
+        {"quality": q, "n_tokens": n_tok_raw.astype("int32")}
+    )
+
+
+# Single-pass struct variant of quality_score_v + token_count_v for
+# hot paths that FILTER on the result: a deterministic pandas UDF gets
+# duplicated when Catalyst pushes `filter(quality >= x)` beneath the
+# projection that computes it — profiling the streaming doc-ingest
+# showed the whole enrichment evaluated twice (~2x Arrow cost).
+# Marking it nondeterministic pins it to one evaluation (the filter
+# stays above the project); the struct shares one tokenization pass.
+# Values are identical to the two single-column UDFs (test-pinned).
+doc_enrich_v = _doc_enrich_v.asNondeterministic()
+
+
 def enrich_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The flagship per-turn enrichment stage: token count, 64-bit
     fingerprint, language, stopword ratio, quality score — all

@@ -196,8 +196,20 @@ def char_entropy(
     )
 
 
-def fingerprint(col: str | Column = "text") -> Column:
-    """Normalized document fingerprint: md5 of the
-    lowercased, whitespace-collapsed text."""
+def fingerprint(
+    col: str | Column = "text", hash_fn: str = "md5"
+) -> Column:
+    """Normalized document fingerprint: hash of the lowercased,
+    whitespace-collapsed text. ``hash_fn='md5'`` (default) gives the
+    32-hex-char string the DuckDB oracle can reproduce; ``'xxhash64'``
+    gives a bigint — the production/streaming mode: the dedup state
+    key shrinks 32-char string → 8 bytes and the hash itself is a
+    single codegen'd JVM op (same md5-vs-xxhash64 knob as the MinHash
+    ladder's ``hash_fn``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(norm)
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn}")
+    return F.md5(norm)

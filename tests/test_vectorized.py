@@ -3,8 +3,10 @@
 import pandas as pd
 
 from dbus_spark.functions.vectorized import (
+    doc_enrich_v,
     enrich_turns,
     lang_id_v,
+    quality_score_v,
     stopword_ratio_v,
     token_count_v,
 )
@@ -67,3 +69,40 @@ def test_enrich_turns_deterministic(spark, transcripts_df):
     # duplicate-redelivery fixture rows, which share text)
     texts = df.select("text").toPandas()["text"]
     assert p1["fp64"].nunique() == texts.nunique()
+
+
+def test_doc_enrich_v_matches_single_column_udfs(spark):
+    """The fused struct UDF (one Arrow pass, nondeterministic so a
+    filter can't duplicate it) must be value-identical to the two
+    single-column UDFs it replaces in the streaming ingest path."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("short",),
+        ("a solid paragraph of reasonable english text " * 4,),
+        ("",),
+        ("   \t\n  ",),
+        ("x" * 200,),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = (
+        df.withColumn("e", doc_enrich_v("text"))
+        .withColumn("q1", quality_score_v("text"))
+        .withColumn("t1", token_count_v("text"))
+        .select("e.quality", "e.n_tokens", "q1", "t1")
+        .toPandas()
+    )
+    assert (got["quality"] == got["q1"]).all()
+    assert (got["n_tokens"] == got["t1"]).all()
+
+    # the nondeterministic flag keeps one evaluation under a filter:
+    # the optimized plan must contain the UDF exactly once
+    plan = (
+        df.withColumn("e", doc_enrich_v("text"))
+        .filter("e.quality >= 0.3")
+        .select("text", "e.quality")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("_doc_enrich_v") == 1, plan
