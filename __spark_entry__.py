@@ -494,6 +494,14 @@ def _doc_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_estimated_jaccard(docs, n_hashes=16, n_bands=4)
 
 
+def _doc_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dedup DECISION step: LSH candidates -> sketch-resident
+    # Jaccard estimate -> est>=0.5 edges -> connected components;
+    # keep-one-per-group is then `doc_id == grp` (map-side)
+    docs = _docs(spark, sf_dir)
+    return D.doc_neardup_groups(docs, min_est_jaccard=0.5)
+
+
 def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return D.simhash(docs)
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
         "doc_lsh_est_jaccard": _doc_lsh_est_jaccard,
+        "doc_neardup_groups": _doc_neardup_groups,
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_neardup": _doc_simhash_neardup,
@@ -1224,6 +1233,27 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "  i -> x.sg[i] = y.sg[i])) / 16.0, 4) AS est_jaccard "
             "FROM cand c JOIN sig x ON x.doc_id = c.id_a "
             "JOIN sig y ON y.doc_id = c.id_b"
+        ),
+        "doc_neardup_groups": (
+            _minhash_sig_cte().replace("WITH tk", "WITH RECURSIVE tk", 1)
+            + " , cand AS (SELECT DISTINCT a.doc_id AS id_a, "
+            "b.doc_id AS id_b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ("
+            "  a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8] "
+            "  OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])), "
+            "e0 AS (SELECT c.id_a, c.id_b FROM cand c "
+            "  JOIN sig x ON x.doc_id = c.id_a "
+            "  JOIN sig y ON y.doc_id = c.id_b "
+            "  WHERE len(list_filter(range(1, 17), "
+            "    i -> x.sg[i] = y.sg[i])) / 16.0 >= 0.5), "
+            "e AS (SELECT id_a, id_b FROM e0 "
+            "      UNION ALL SELECT id_b, id_a FROM e0), "
+            "r AS ("
+            "  SELECT doc_id AS id, doc_id AS label FROM documents "
+            "  UNION "
+            "  SELECT e.id_a AS id, r.label FROM e JOIN r ON r.id = e.id_b"
+            ") "
+            "SELECT id AS doc_id, MIN(label) AS grp FROM r GROUP BY id"
         ),
         "doc_simhash": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "

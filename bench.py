@@ -52,6 +52,7 @@ BATCH_QUERIES = [
     "doc_minhash",
     "doc_lsh_pairs",
     "doc_lsh_est_jaccard",
+    "doc_neardup_groups",
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_neardup",

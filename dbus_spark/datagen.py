@@ -249,3 +249,143 @@ def generate_rows_events(
             "rows": g["rows"],
         }
     return df
+
+
+# --- corpus generators (scale-growth evidence) -------------------------
+#
+# /root/testdata stops at sf0.1 (5k docs / 2k embeddings); the pair-join
+# ladder's "never O(n^2)" claim needs measured growth ACROSS scales, so
+# these generate self-similar corpora at any size: the same recipe at
+# 1x/3x/10x keeps token distribution, duplicate-cluster sizes, and
+# near-dup density per doc constant — only the doc count grows — which
+# is exactly the regime where a sub-quadratic operator must show a
+# near-linear wall-clock exponent.
+
+_DOC_LANGS = np.array(["en", "en", "zh", "es", "fr", "de"])
+
+
+def generate_documents(
+    n_docs: int,
+    seed: int = 42,
+    dup_frac: float = 0.15,
+    mean_cluster: int = 3,
+    mutate_frac: float = 0.08,
+    n_sources: int = 20,
+    vocab_size: int | None = None,
+) -> pd.DataFrame:
+    """Documents table with the testdata shape (doc_id, text, lang,
+    source, n_chars): token-salad base docs plus near-duplicate
+    clusters — ``dup_frac`` of docs are members of a cluster whose
+    copies mutate ``mutate_frac`` of tokens. Cluster-size distribution
+    is scale-free (geometric with the same mean at any n_docs), so
+    true-pair count grows ~linearly in n_docs.
+
+    ``vocab_size`` defaults to ``max(512, n_docs // 4)`` — vocabulary
+    growing with the corpus (Heaps' law) keeps the PER-SHINGLE document
+    frequency roughly constant across scales, so a fixed ``max_df``
+    boilerplate cut means the same thing at 5k docs and 50k docs. A
+    fixed small vocab would instead make every shingle "hot" at scale
+    and the df-cut would silently delete the whole corpus."""
+    rng = np.random.default_rng(seed)
+    if vocab_size is None:
+        vocab_size = max(512, n_docs // 4)
+    # random-letter words, NOT serial "w00042"-style tokens: serial
+    # names share most of their characters, so character-shingle
+    # operators (winnowing k-grams) would see near-universal cross-doc
+    # overlap and the corpus would degenerate to all-pairs
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words: list[str] = []
+    seen: set[str] = set()
+    while len(words) < vocab_size:
+        need = vocab_size - len(words)
+        lens = rng.integers(3, 9, size=need * 2)
+        flat = rng.integers(0, 26, size=int(lens.sum()))
+        off = 0
+        for ln in lens:
+            w = "".join(letters[flat[off:off + ln]])
+            off += ln
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+                if len(words) >= vocab_size:
+                    break
+    vocab = np.array(words)
+    n_base = int(n_docs * (1 - dup_frac))
+    lengths = rng.integers(8, 90, size=n_base)
+    base_texts = [
+        " ".join(rng.choice(vocab, size=ln)) for ln in lengths
+    ]
+    texts = list(base_texts)
+    # near-dup clusters: pick base docs, append mutated copies
+    while len(texts) < n_docs:
+        src = texts[rng.integers(0, n_base)]
+        toks = src.split()
+        k = max(1, min(rng.geometric(1 / mean_cluster), n_docs - len(texts)))
+        for _ in range(k):
+            t = list(toks)
+            n_mut = max(1, int(len(t) * mutate_frac))
+            for pos in rng.integers(0, len(t), size=n_mut):
+                t[pos] = vocab[rng.integers(0, vocab_size)]
+            texts.append(" ".join(t))
+            if len(texts) >= n_docs:
+                break
+    texts = texts[:n_docs]
+    lang = _DOC_LANGS[rng.integers(0, len(_DOC_LANGS), size=n_docs)]
+    source = np.array(
+        [f"src{i}" for i in rng.integers(0, n_sources, size=n_docs)]
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": lang,
+            "source": source,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+def generate_embeddings(
+    n_vecs: int,
+    dim: int = 64,
+    seed: int = 42,
+    n_clusters: int | None = None,
+    neardup_frac: float = 0.05,
+    neardup_noise: float = 0.05,
+) -> pd.DataFrame:
+    """Embeddings table with the testdata shape (vec_id, embedding
+    float32-array, label): unit-norm cluster-plus-noise vectors;
+    ``neardup_frac`` of vectors are tight copies of an earlier vector
+    (cosine ~ 1 - neardup_noise^2/2), giving a scale-free near-dup
+    pair density for the SRP/IVF growth runs. ``dim`` is a first-class
+    knob — the dim-768 evidence run uses the same generator.
+
+    ``n_clusters`` defaults to ``max(64, n_vecs // 30)``: cluster
+    COUNT grows with the corpus so cluster occupancy stays constant.
+    A fixed cluster count would make within-cluster occupancy grow
+    linearly and the upper tail of same-cluster cosine pairs grow
+    QUADRATICALLY — the corpus itself would be O(n^2), and no
+    candidate-bounded operator could show sub-quadratic wall-clock on
+    it (measured: 10x vecs gave 37x pairs before this fix)."""
+    rng = np.random.default_rng(seed)
+    if n_clusters is None:
+        n_clusters = max(64, n_vecs // 30)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n_vecs)
+    V = centers[labels] + 0.35 * rng.standard_normal((n_vecs, dim))
+    n_nd = int(n_vecs * neardup_frac)
+    if n_nd:
+        dst = rng.choice(n_vecs, size=n_nd, replace=False)
+        src = rng.integers(0, n_vecs, size=n_nd)
+        V[dst] = V[src] + neardup_noise * rng.standard_normal((n_nd, dim))
+        labels[dst] = labels[src]
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V.astype(np.float32)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": [v for v in V],
+            "label": labels.astype(np.int32),
+        }
+    )

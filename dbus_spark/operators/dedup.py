@@ -667,3 +667,42 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), sh.alias("simhash"))
+
+
+def doc_neardup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+    hash_fn: str = "md5",
+    max_iter: int = 20,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Text-side near-duplicate GROUPS — the dedup decision step of a
+    training-data pipeline: MinHash-LSH candidates → sketch-resident
+    Jaccard estimate (documents never re-read) → edges with estimate ≥
+    ``min_est_jaccard`` → connected components → every doc labelled
+    with its group's min doc_id (``grp``). Keep-one-per-group is then
+    ``filter(doc_id == grp)`` — a map-side predicate, no extra
+    shuffle.
+
+    Scale shape: candidate generation is band-bounded (shuffle =
+    docs×bands), the estimate join moves (id, sig) rows only, and the
+    CC step is size-adaptive (driver union-find under
+    ``small_graph_threshold`` edges, distributed min-label propagation
+    above — see ``graph.components_from_pairs``)."""
+    from dbus_spark.operators.graph import components_from_pairs
+
+    edges = lsh_estimated_jaccard(
+        df, id_col, text_col, n_hashes, n_bands, shingle_n, hash_fn
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+    return components_from_pairs(
+        edges,
+        df.select(F.col(id_col)),
+        id_col,
+        max_iter=max_iter,
+        small_graph_threshold=small_graph_threshold,
+    )

@@ -747,114 +747,21 @@ def neardup_groups(
       the (nodes-in-edges only) label frame so plans don't grow.
 
     Both strategies compute the identical min-label fixpoint
-    (equivalence pinned by test)."""
+    (equivalence pinned by test); the CC core is shared with the
+    text-side ``dedup.doc_neardup_groups`` via
+    ``graph.components_from_pairs``."""
+    from dbus_spark.operators.graph import components_from_pairs
+
     pairs = neardup_pairs_lsh(
         df, threshold, dim, n_tables, planes_per_table, seed,
         id_col, vec_col,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-
-    n_edges = pairs.count()
-    if n_edges <= small_graph_threshold:
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in pairs.collect():  # bounded by small_graph_threshold
-            a, b = r.id_a, r.id_b
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-        comp_min: dict = {}
-        for node in parent:
-            root = find(node)
-            m = comp_min.get(root)
-            if m is None or node < m:
-                comp_min[root] = node
-        spark = df.sparkSession
-        id_type = df.schema[id_col].dataType.simpleString()
-        if comp_min:
-            labels = spark.createDataFrame(
-                [(n, comp_min[find(n)]) for n in parent],
-                f"id {id_type}, label {id_type}",
-            )
-        else:
-            labels = spark.createDataFrame(
-                [], f"id {id_type}, label {id_type}"
-            )
-        return (
-            df.select(F.col(id_col))
-            .join(F.broadcast(labels), df[id_col] == labels.id, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce("label", F.col(id_col)).alias("grp"),
-            )
-        )
-
-    edges = pairs.union(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    ).localCheckpoint(eager=True)
-
-    labels = (
-        edges.select(F.col("id_a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    changed = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.id_b == labels.id)
-            .groupBy("id_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        updated = (
-            labels.join(
-                neighbor_min, labels.id == neighbor_min.id_a, "left"
-            )
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_chg"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = updated.filter("_chg").count()
-        labels = updated.drop("_chg")
-        if changed == 0:
-            break
-    else:
-        if changed:
-            # loop exhausted max_iter with labels still moving: a pair
-            # graph of diameter > max_iter (a long near-dup chain)
-            # would return split components — surface it instead of
-            # silently under-merging
-            import warnings
-
-            warnings.warn(
-                f"neardup_groups: min-label propagation did not "
-                f"converge in {max_iter} rounds ({changed} labels "
-                f"still changing); components may be split — raise "
-                f"max_iter",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-    # vectors in no edge are their own (singleton) group
-    return (
-        df.select(F.col(id_col))
-        .join(labels, df[id_col] == labels.id, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("label", F.col(id_col)).alias("grp"),
-        )
+    return components_from_pairs(
+        pairs,
+        df.select(F.col(id_col)),
+        id_col,
+        max_iter=max_iter,
+        small_graph_threshold=small_graph_threshold,
     )
 
 

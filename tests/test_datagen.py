@@ -3,6 +3,8 @@ import pandas as pd
 
 from dbus_spark.datagen import (
     TranscriptKnobs,
+    generate_documents,
+    generate_embeddings,
     generate_rows_events,
     generate_transcripts,
 )
@@ -63,3 +65,40 @@ def test_rows_events_golden_row():
     # update events carry [before, after] pairs
     ups = df[df["dml"] == "U"]
     assert all(len(r) == 2 for r in ups["rows"])
+
+
+def test_documents_generator_shape_and_determinism():
+    a = generate_documents(800, seed=5)
+    b = generate_documents(800, seed=5)
+    assert a.equals(b)
+    assert list(a.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert a["doc_id"].is_unique
+    assert (a["n_chars"] == a["text"].str.len()).all()
+    # near-dup clusters exist but don't dominate: some docs share most
+    # tokens with a base doc, exact-dup rate stays low
+    assert a["text"].nunique() > 0.95 * len(a)
+
+
+def test_documents_vocab_scales_with_corpus():
+    """Heaps'-law scaling: distinct tokens grow with the corpus so a
+    fixed max_df boilerplate cut keeps its meaning at every scale."""
+    small = generate_documents(2500, seed=5)
+    big = generate_documents(25000, seed=5)
+    v_small = set(" ".join(small["text"]).split())
+    v_big = set(" ".join(big["text"]).split())
+    assert len(v_big) > 3 * len(v_small)
+
+
+def test_embeddings_generator_unit_norm_and_neardups():
+    e = generate_embeddings(500, dim=32, seed=5)
+    assert e.equals(generate_embeddings(500, dim=32, seed=5))
+    V = np.stack(e["embedding"].to_numpy())
+    assert V.dtype == np.float32 and V.shape == (500, 32)
+    norms = np.linalg.norm(V, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # planted near-dups: ~neardup_frac of vectors have a >0.99-cosine
+    # neighbor; unrelated cluster members sit far below near-dup range
+    sims = V @ V.T
+    np.fill_diagonal(sims, -1)
+    n_nd = (sims.max(axis=1) > 0.99).sum()
+    assert 30 <= n_nd <= 120  # 5% planted -> ~50 rows (src+dst)

@@ -621,3 +621,23 @@ def test_winnow_match_pairs_releases_its_cache(spark):
     # at most the localCheckpoint block survives (it is GC-cleaned);
     # the leaked form left TWO extra entries
     assert after - before <= 1
+
+
+def test_doc_neardup_groups_keep_one(spark):
+    """Text-side dedup decision: every doc gets a group label, the
+    label is a member of the group (min id), and keep-one-per-group
+    (doc_id == grp) keeps exactly one doc per distinct label."""
+    from dbus_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    g = D.doc_neardup_groups(docs, min_est_jaccard=0.5).toPandas()
+    assert len(g) == docs.count()  # total coverage, singletons included
+    assert (g.groupby("grp")["doc_id"].min() ==
+            g.groupby("grp")["doc_id"].apply(lambda s: s.min())).all()
+    # label is the min id of its own group
+    assert (g.groupby("grp")["doc_id"].min().index ==
+            g.groupby("grp")["doc_id"].min().values).all()
+    kept = g[g["doc_id"] == g["grp"]]
+    assert len(kept) == g["grp"].nunique()
+    # the fixture has near-dup docs: at least one non-trivial group
+    assert g["grp"].nunique() < len(g)
