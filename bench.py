@@ -252,10 +252,8 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
     re-ingest."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
 
-    from dbus_spark.functions.vectorized import doc_enrich_v
-    from dbus_spark.operators.text import fingerprint
+    from dbus_spark.pipeline.ingest import doc_ingest_stream
     from dbus_spark.sinks import IdempotentKeyedSink
 
     work = tempfile.mkdtemp(prefix="dbus_bench_docs_")
@@ -300,20 +298,11 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-        cleaned = (
-            # one Arrow pass for quality+tokens; the nondeterministic
-            # struct UDF keeps Catalyst from duplicating the enrichment
-            # under the filter (see functions/vectorized.doc_enrich_v)
-            src.withColumn("e", doc_enrich_v(F.col("text")))
-            .filter("e.quality >= 0.3")
-            .select("doc_id", "text", "ts", "e.quality", "e.n_tokens")
-            # xxhash64 mode: 8-byte state key + codegen hash (the md5
-            # mode exists for the DuckDB oracle; the r3 profile put
-            # ~half of every micro-batch in state-store commit)
-            .withColumn("fp", fingerprint("text", hash_fn="xxhash64"))
-            # wider than the fixture's event-time span: dedup is global
-            .withWatermark("ts", "2 hours")
-            .dropDuplicatesWithinWatermark(["fp"])
+        # the library vertical (one-pass Arrow enrich, xxhash64 state
+        # key, watermark wider than the fixture's event-time span so
+        # dedup is global) — see dbus_spark/pipeline/ingest.py
+        cleaned = doc_ingest_stream(
+            src, quality_min=0.3, watermark="2 hours"
         )
         sink = IdempotentKeyedSink(
             os.path.join(work, "out"),

@@ -278,3 +278,24 @@ def test_subprocess_output_truncating_consumer_raises(spark):
 
     with _pytest.raises(RuntimeError, match="closed stdin|exited"):
         Pipeline(cfg).run(spark, sources={"src": df})
+
+
+def test_doc_ingest_stream_batch_form(spark):
+    """The ingest vertical's batch form: one-pass enrichment columns,
+    quality filter applied, exact dedup on the normalized fingerprint
+    (keeps first-seen fp)."""
+    from dbus_spark.pipeline.ingest import doc_ingest_stream
+
+    rows = [
+        (1, "a solid paragraph of reasonable english text " * 4),
+        (2, "a solid paragraph of reasonable english text " * 4),  # dup
+        (3, "5" * 200_000),  # one huge digit token: every band fails
+        (4, "another perfectly ordinary document with many words " * 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = doc_ingest_stream(df, quality_min=0.3, dedup=True).toPandas()
+    assert {"doc_id", "text", "quality", "n_tokens", "fp"} <= set(out.columns)
+    assert set(out["doc_id"]) <= {1, 2, 4} and len(out) == 2  # dedup + filter
+    assert (out["quality"] >= 0.3).all()
+    no_dedup = doc_ingest_stream(df, quality_min=0.3, dedup=False).toPandas()
+    assert len(no_dedup) == 3
