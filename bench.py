@@ -92,10 +92,20 @@ def run_batch(spark, sf_dir: str) -> dict[str, float]:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     _prewarm_python_workers(spark)
     out: dict[str, float] = {}
+    # per-query best-of-R (default 2): the first execution of a plan
+    # pays codegen + Arrow-worker costs a long-lived cluster amortizes,
+    # and a single neighbor-load spike on this shared box otherwise
+    # rewrites one query's headline (r4 preview: emb_neardup_lsh
+    # recorded 42 s in a spike, 3.4 s warm — same code)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH_REPEATS", "2"))
     for name in BATCH_QUERIES:
-        t0 = time.time()
-        _noop(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
