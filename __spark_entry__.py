@@ -532,6 +532,13 @@ def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=50)
 
 
+def _corpus_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary stats: per-token document frequency + smoothed idf —
+    # the table vocab pruning / stopword cuts / TF-IDF weights read
+    docs = _docs(spark, sf_dir)
+    return TX.corpus_idf(docs)
+
+
 def _doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return TX.gopher_quality(docs)
@@ -601,6 +608,16 @@ def _emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return S.neardup_pairs_lsh(emb, threshold=0.4, dim=64)
+
+
+def _emb_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the second scale path for embedding near-dup: multi-probe IVF
+    # cells as candidate generator (cells track data with a trained
+    # quantizer; SRP recall is fixed at index time) + exact verify
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.neardup_pairs_ivf(emb, threshold=0.4, dim=64, n_probes=2)
 
 
 def _emb_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_pairs": _doc_lsh_pairs,
         "doc_lsh_est_jaccard": _doc_lsh_est_jaccard,
         "doc_neardup_groups": _doc_neardup_groups,
+        "corpus_idf": _corpus_idf,
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_neardup": _doc_simhash_neardup,
@@ -746,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _emb_knn,
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
+        "emb_neardup_ivf": _emb_neardup_ivf,
         "emb_neardup_groups": _emb_neardup_groups,
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
@@ -883,6 +902,45 @@ def _neardup_groups_oracle(threshold: float = 0.4) -> str:
         "  SELECT e.id_a AS id, r.label FROM e JOIN r ON r.id = e.id_b"
         ") "
         "SELECT id AS vec_id, MIN(label) AS grp FROM r GROUP BY id"
+    )
+
+
+def _neardup_ivf_oracle(
+    threshold: float = 0.4, n_centroids: int = 16, n_probes: int = 2
+) -> str:
+    """Multi-probe IVF near-dup mirror: every vector indexes into its
+    top-``n_probes`` cells (same dot/rank tie rule as the knn oracle),
+    pairs sharing a cell are candidates, exact-cosine verified."""
+    from dbus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_centroids, 64, seed=11)
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], [{c}]::DOUBLE[])".format(
+            c=", ".join(repr(float(x)) for x in cent)
+        )
+        for cent in cents
+    )
+    sim = (
+        "list_cosine_similarity(x.embedding::DOUBLE[], "
+        "y.embedding::DOUBLE[])"
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, [{dots}] AS dots FROM embeddings), "
+        "p0 AS (SELECT vec_id, "
+        "  unnest([{'cell': i, 'cdot': dots[i+1]} "
+        f"          for i in range(0, {n_centroids})]) AS u FROM d), "
+        "p1 AS (SELECT vec_id, u.cell AS cell, u.cdot AS cdot FROM p0), "
+        "pr AS (SELECT vec_id, cell, ROW_NUMBER() OVER "
+        "  (PARTITION BY vec_id ORDER BY cdot DESC, cell ASC) AS prank "
+        "  FROM p1), "
+        f"probed AS (SELECT vec_id, cell FROM pr WHERE prank <= {n_probes}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "  FROM probed a JOIN probed b ON a.cell = b.cell "
+        "  AND a.vec_id < b.vec_id) "
+        f"SELECT c.id_a, c.id_b, ROUND({sim}, 4) AS sim "
+        "FROM cand c JOIN embeddings x ON x.vec_id = c.id_a "
+        "JOIN embeddings y ON y.vec_id = c.id_b "
+        f"WHERE ROUND({sim}, 4) > {threshold}"
     )
 
 
@@ -1255,6 +1313,15 @@ def _oracle_sql_all() -> dict[str, str | None]:
             ") "
             "SELECT id AS doc_id, MIN(label) AS grp FROM r GROUP BY id"
         ),
+        "corpus_idf": (
+            f"WITH tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks "
+            "FROM documents), "
+            "ex AS (SELECT unnest(toks) AS token FROM tk), "
+            "n AS (SELECT COUNT(*) AS nd FROM documents) "
+            "SELECT token, COUNT(*) AS df, "
+            "ROUND(ln((nd + 1.0) / (COUNT(*) + 1)) + 1, 4) AS idf "
+            "FROM ex, n GROUP BY token, nd"
+        ),
         "doc_simhash": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
             "h AS (SELECT doc_id, "
@@ -1384,6 +1451,7 @@ def _oracle_sql_all() -> dict[str, str | None]:
         ),
         "emb_knn_lsh": _knn_lsh_oracle(),
         "emb_neardup_lsh": _neardup_lsh_oracle(),
+        "emb_neardup_ivf": _neardup_ivf_oracle(),
         "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
         "emb_knn_ivf_trained": _knn_ivf_trained_oracle(),

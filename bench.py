@@ -53,6 +53,7 @@ BATCH_QUERIES = [
     "doc_lsh_pairs",
     "doc_lsh_est_jaccard",
     "doc_neardup_groups",
+    "corpus_idf",
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_neardup",
@@ -65,6 +66,7 @@ BATCH_QUERIES = [
     "emb_knn",
     "emb_neardup",
     "emb_neardup_lsh",
+    "emb_neardup_ivf",
     "emb_neardup_groups",
     "emb_knn_lsh",
     "emb_knn_ivf",

@@ -713,6 +713,97 @@ def neardup_pairs_lsh(
     )
 
 
+def neardup_pairs_ivf(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via IVF cells — the second scale path
+    beside SRP-LSH (``neardup_pairs_lsh``): each vector indexes into
+    its ``n_probes`` best coarse-quantizer cells (multi-probe on the
+    INDEX side, so two vectors straddling a cell boundary still meet
+    in the runner-up cell); pairs sharing any cell are candidates,
+    then exact-cosine verified. Candidate volume is
+    |docs|²·n_probes²/n_centroids in expectation per shared cell —
+    bounded by the quantizer, never O(n²); with a TRAINED quantizer
+    (``kmeans_centroids``) cells track the data distribution, which is
+    what makes this the preferred path when the corpus is clustered
+    (IVF recall degrades gracefully with n_probes; SRP recall is fixed
+    by plane count at index time).
+
+    ``max_cell`` mirrors ``max_bucket`` on the LSH path: drop cells
+    holding more vectors than the cap before pairing (off by default;
+    the oracle mirrors the uncapped construction)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed
+    )
+    k = len(cents)
+    # top-P cells, map-side: sort struct(dot, -cell) DESC == dot DESC
+    # then cell ASC (the tie rule the argmax/oracle row_number uses)
+    entries = F.slice(
+        F.sort_array(
+            F.zip_with(
+                _centroid_dots(vec_col, cents),
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, c: F.struct(
+                    d.alias("d"), (-c).alias("negc")
+                ),
+            ),
+            asc=False,
+        ),
+        1,
+        n_probes,
+    )
+    probed = df.select(
+        F.col(id_col), F.explode(entries).alias("e")
+    ).select(id_col, (-F.col("e.negc")).cast("int").alias("cell"))
+    if max_cell is not None:
+        probed = (
+            probed.withColumn(
+                "_n", F.count("*").over(Window.partitionBy("cell"))
+            )
+            .filter(F.col("_n") <= max_cell)
+            .drop("_n")
+        )
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(b, on="cell")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
+        )
+        .filter(F.col("sim") > threshold)
+    )
+
+
 def neardup_groups(
     df: DataFrame,
     threshold: float = 0.4,

@@ -213,3 +213,33 @@ def fingerprint(
     if hash_fn != "md5":
         raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn}")
     return F.md5(norm)
+
+
+def corpus_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    smoothed IDF (``ln((N+1)/(df+1)) + 1``, the sklearn smoothing) —
+    the table a training pipeline derives stopword cuts, vocab pruning
+    and TF-IDF weights from. One explode of the per-doc DISTINCT token
+    set + one combiner-friendly count — shuffle is |vocab|-bounded,
+    not |tokens|; the corpus size is a driver scalar (one count job),
+    broadcast into the expression as a literal."""
+    n_docs = df.count()
+    return (
+        df.select(
+            F.explode(F.array_distinct(tokens(text_col))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1, 4
+            ).alias("idf"),
+        )
+    )

@@ -296,3 +296,14 @@ def test_q3_filters_push_below_joins(spark):
     a = entrymod.queries()["customers_no_big_orders"](spark, SF_DIR)
     aplan = _plan(a)
     assert "LeftAnti" in aplan
+
+
+def test_neardup_ivf_plan_bounded(spark):
+    """The IVF near-dup path must share the SRP path's scale shape:
+    Arrow-vectorized centroid dots (no literal-plane folds), cell-join
+    candidates — never an all-pairs CartesianProduct."""
+    q = entrymod.queries()["emb_neardup_ivf"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+    assert len(plan) < 40_000, f"plan bloated ({len(plan)} chars)"
