@@ -253,6 +253,99 @@ def run_ordered_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_neardup_ingest_streaming(
+    spark, sf_dir: str, target_rows: int = 100_000
+) -> dict:
+    """Streaming NEAR-dup ingest (round 4): document stream →
+    map-side MinHash signature + band explode → per-bucket stateful
+    near-dup filter (applyInPandasWithState, sketch-resident
+    decisions) → per-batch verdict resolve → exactly-once sink. The
+    replicated corpus means every replica is an EXACT dup (caught by
+    minhash agreement 1.0) and the generator's mutated near-dup
+    clusters exercise the approximate path."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.dedup_stream import (
+        neardup_filter_foreach_batch,
+        streaming_neardup_verdicts,
+    )
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_nd_")
+    try:
+        pdf = pd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        reps = max(1, target_rows // max(len(pdf), 1))
+        big = pd.concat(
+            [
+                pdf.assign(doc_id=pdf["doc_id"] + i * 10_000_000)
+                for i in range(reps)
+            ],
+            ignore_index=True,
+        )
+        base = pd.Timestamp("2026-01-01")
+        big["ts"] = (
+            base + pd.to_timedelta(np.arange(len(big)) % 3600, unit="s")
+        ).astype("datetime64[us]")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(big)), 8)):
+            big.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"batch-{i:05d}.parquet"), index=False
+            )
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # UNLIKE the exact-dedup ingest (JVM state store, fixed
+        # per-partition commit overhead -> few partitions), the
+        # near-dup state fn is python-worker-bound: partitions = cores
+        # so all workers run; the 64 state cells spread across them
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 << 10))
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_neardup_verdicts(src, watermark="2 hours")
+        sink = IdempotentKeyedSink(
+            os.path.join(work, "out"),
+            keys=["doc_id"],
+            dedup_mode="epoch_overwrite",
+            track_counts=False,
+            coalesce_output=4,
+        )
+        t0 = time.time()
+        q = (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(neardup_filter_foreach_batch(sink.foreach_batch()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        uniq = spark.read.parquet(
+            os.path.join(work, "out", "data")
+        ).count()
+        return {
+            "sec": round(wall, 3),
+            "rows": len(big),
+            "docs_per_sec": round(len(big) / wall, 1),
+            "kept_docs": uniq,
+        }
+    finally:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        except NameError:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> dict:
     """LLM training-data ingest, streaming form: document stream →
     Arrow-vectorized quality/token/language enrichment → quality
@@ -435,6 +528,12 @@ def main() -> None:
     doc_ingest = min(druns, key=lambda r: r["sec"])
     doc_ingest["walls_sec"] = [r["sec"] for r in druns]
     queries["streaming_doc_ingest"] = doc_ingest["sec"]
+    nruns = [
+        run_neardup_ingest_streaming(spark, sf_dir) for _ in range(repeats)
+    ]
+    nd_ingest = min(nruns, key=lambda r: r["sec"])
+    nd_ingest["walls_sec"] = [r["sec"] for r in nruns]
+    queries["streaming_neardup_ingest"] = nd_ingest["sec"]
     dryrun = run_dryrun_route(spark)
 
     result = {
@@ -447,6 +546,7 @@ def main() -> None:
         "streaming": stream,
         "streaming_ordered": ordered,
         "streaming_doc_ingest": doc_ingest,
+        "streaming_neardup_ingest": nd_ingest,
         "dryrun_route": dryrun,
         "cpus": cpus,
     }

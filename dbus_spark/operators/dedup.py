@@ -492,27 +492,43 @@ def minhash_signature(
     """MinHash signature: sig[i] = min over shingles of
     (h32(shingle) % p * a_i + b_i) % p. One md5 per shingle total;
     pure map-side -- no shuffle."""
-    coeffs = minhash_coeffs(n_hashes)
-    # base-hash every shingle once (the only md5 work in the operator)
     hashed = df.select(
         F.col(id_col),
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: _h32(s, hash_fn) % F.lit(MINHASH_P),
-        ).alias("_hs"),
+        _shingle_hashes(text_col, shingle_n, hash_fn).alias("_hs"),
     )
+    return hashed.select(
+        F.col(id_col), minhash_sig_col(F.col("_hs"), n_hashes).alias("sig")
+    )
+
+
+def _shingle_hashes(
+    text_col: str, shingle_n: int, hash_fn: str
+) -> Column:
+    """Base-hash every shingle once (the only md5/xxhash work in the
+    MinHash operators)."""
+    return F.transform(
+        word_shingles(text_col, shingle_n),
+        lambda s: _h32(s, hash_fn) % F.lit(MINHASH_P),
+    )
+
+
+def minhash_sig_col(hashes: Column, n_hashes: int) -> Column:
+    """The signature as a composable COLUMN over pre-hashed shingles —
+    the one implementation behind ``minhash_signature`` and the
+    streaming near-dup filter (which must keep its other columns)."""
+    coeffs = minhash_coeffs(n_hashes)
+
     def _perm(a: int, b: int):
         # must be a strictly unary lambda: pyspark counts every
         # parameter (defaults included) as a lambda argument
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
-    sig = F.array(
+    return F.array(
         *[
-            F.array_min(F.transform(F.col("_hs"), _perm(a, b)))
+            F.array_min(F.transform(hashes, _perm(a, b)))
             for (a, b) in coeffs
         ]
     )
-    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def _band_candidates(

@@ -1,0 +1,419 @@
+"""Streaming NEAR-duplicate filtering — the stateful twin of
+``dedup.doc_neardup_groups``.
+
+The exact-dedup stage of the ingest vertical
+(``dropDuplicatesWithinWatermark`` on a fingerprint) only collapses
+byte-identical re-crawls; a crawl re-ingest also carries *near*
+duplicates (boilerplate edits, timestamp stamps). This operator drops
+a document when it is a MinHash-LSH near-duplicate (signature
+agreement ≥ threshold) of an EARLIER-ARRIVED document, with state
+bounded by a rep TTL + per-bucket cap — semantics mirroring
+``dropDuplicatesWithinWatermark`` but under approximate equality.
+
+Geometry (the 100 TB shape, reference parity: dbus declares a dedup
+store and never builds one — pkg/idempotent/repository.go:1-5):
+
+- map side: one signature per doc (``minhash_sig_col``), exploded
+  into ``n_bands`` band rows keyed by xxhash64(band, band-values) —
+  the SAME banded candidate scheme as the batch LSH ladder, so a pair
+  findable by ``lsh_candidate_pairs`` is findable here;
+- state: ``applyInPandasWithState`` over ``pmod(bucket,
+  n_state_buckets)`` coarse groups (the ordering operator's
+  key-coarsening idiom — a handful of fat state cells instead of one
+  tiny cell per LSH bucket). Each cell holds per-bucket rep
+  signatures as plain numpy arrays (version-tagged pickle, the
+  ordering wire-format contract);
+- verdicts: each band row comes back with ``is_dup``; a doc is a
+  duplicate iff ANY band says so. All of a doc's band rows are
+  produced from the same input batch, so the OR is a plain batch
+  aggregation per micro-batch — ``resolve_neardup_verdicts`` inside
+  the caller's ``foreachBatch`` (composition shown in
+  ``neardup_filter_foreach_batch``).
+
+Semantics and bounds:
+
+- "earlier-arrived" is (ts, id) order: within a batch, rows are
+  processed in that order (a doc can be a dup of an earlier doc of
+  the SAME batch); across batches, state carries the reps. A dup is
+  never added as a rep in the bucket where it matched, so chains
+  collapse onto first-seen canonicals (a doc matching only a dropped
+  doc in some OTHER band bucket reads as dup-of-dup — still a
+  near-dup chain member, by design).
+- reps expire ``rep_ttl_ms`` after their last sighting (watermark
+  clock) — the dedup guarantee is "within the TTL horizon", exactly
+  like dropDuplicatesWithinWatermark's contract, and state stays
+  bounded by active-bucket count x cap.
+- ``max_reps_per_bucket`` bounds any one cell against degenerate
+  buckets (the max_df/max_bucket analog): overflow reps are NOT
+  stored (documented under-dedup, never over-drop).
+
+Recall is the banded-LSH bound (same bands as the batch ladder); the
+decision rule (signature agreement ≥ ``min_est_jaccard``) is the
+``lsh_estimated_jaccard`` estimator, sketch-resident — text is never
+re-read from state.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from dbus_spark.operators.dedup import (
+    MINHASH_P,
+    _shingle_hashes,
+    minhash_coeffs,
+    minhash_sig_col,
+)
+
+_STATE_FMT_V1 = b"\x01"
+
+# Java \s is ASCII-only and Spark trim strips 0x20 only — the JVM
+# tokenization parity lesson (see dedup.shingles_exploded_arrow)
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def minhash_sigs_pandas(
+    texts: pd.Series,
+    ids: pd.Series,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> np.ndarray:
+    """Vectorized (pandas/numpy) MinHash signatures — the streaming
+    path's signature kernel, shared verbatim by the test replica so
+    stream decisions and the sequential reference use identical
+    sketches. The Catalyst form (``minhash_sig_col``) costs ~0.65 ms
+    per document in interpreted HOF evaluation (measured: 8.2 s for a
+    12.5k-doc micro-batch — the whole operator's budget); this batches
+    the same construction through C kernels. Hashing differs from the
+    Catalyst form (``hash_pandas_object`` vs xxhash64), which is fine:
+    the stateful operator only ever compares ITS OWN sketches — but it
+    also means the signature scheme is part of the checkpoint contract
+    (don't change n_hashes/shingle_n/hash on a live checkpoint).
+
+    Documents with fewer than ``shingle_n`` tokens have no shingles;
+    they get a per-doc unique sentinel signature (-id-1) so they never
+    match anything — near-dup similarity is undefined for them, and
+    'always kept, never stored' is the only non-surprising answer."""
+    n = len(texts)
+    out = np.empty((n, n_hashes), dtype=np.int64)
+    toks = (
+        texts.reset_index(drop=True)
+        .str.strip(" ")
+        .str.split(_JAVA_WS, regex=True)
+        .explode()
+    )
+    g = toks.groupby(level=0)
+    sh = toks
+    for k in range(1, shingle_n):
+        sh = sh + " " + g.shift(-k)
+    sh = sh.dropna()
+    doc_of = sh.index.to_numpy()
+    base = (
+        pd.util.hash_pandas_object(sh, index=False).to_numpy().astype(
+            np.int64
+        )
+        % MINHASH_P
+    )
+    # one (shingles × n_hashes) affine-permutation matrix, then a
+    # per-doc segmented min (doc_of is non-decreasing: explode+shift
+    # preserves row order)
+    coeffs = np.asarray(minhash_coeffs(n_hashes), dtype=np.int64)
+    perms = (base[:, None] * coeffs[None, :, 0] + coeffs[None, :, 1]) % (
+        MINHASH_P
+    )
+    have = np.unique(doc_of)
+    starts = np.searchsorted(doc_of, have)
+    out[:] = -(ids.to_numpy(dtype=np.int64)[:, None]) - 1  # sentinel
+    if len(have):
+        out[have] = np.minimum.reduceat(perms, starts, axis=0)
+    return out
+_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType())])
+
+
+def _load_cell(state) -> dict:
+    (blob,) = state.get
+    blob = bytes(blob)
+    if blob[:1] == _STATE_FMT_V1:
+        raw = pickle.loads(blob[1:])
+    else:  # untagged legacy blob (raw pickle starts 0x80)
+        raw = pickle.loads(blob)
+    return {
+        b: (ids, mat.reshape(len(ids), -1), last)
+        for b, ids, mat, last in raw
+    }
+
+
+def _save_cell(state, cell: dict) -> None:
+    raw = [
+        (b, ids, np.ascontiguousarray(mat).reshape(-1), last)
+        for b, (ids, mat, last) in cell.items()
+    ]
+    state.update((_STATE_FMT_V1 + pickle.dumps(raw, protocol=5),))
+
+
+def _prune_cell(cell: dict, cutoff_ms: int) -> dict:
+    out = {}
+    for b, (ids, mat, last) in cell.items():
+        keep = last >= cutoff_ms
+        if keep.all():
+            out[b] = (ids, mat, last)
+        elif keep.any():
+            out[b] = (ids[keep], mat[keep], last[keep])
+    return out
+
+
+def _agree_frac(sig: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Fraction of agreeing signature slots of one sig vs each rep row."""
+    return (mat == sig[None, :]).mean(axis=1)
+
+
+def _make_cell_fn(
+    out_cols: list[str],
+    min_est: float,
+    rep_ttl_ms: int,
+    max_reps: int,
+    ts_col: str = "ts",
+):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        cutoff = wm - rep_ttl_ms
+
+        if state.hasTimedOut:
+            cell = _prune_cell(_load_cell(state), cutoff)
+            if cell:
+                _save_cell(state, cell)
+                state.setTimeoutTimestamp(wm + rep_ttl_ms)
+            else:
+                state.remove()
+            return
+
+        cell = _prune_cell(_load_cell(state), cutoff) if state.exists else {}
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if cell:
+                _save_cell(state, cell)
+                state.setTimeoutTimestamp(wm + rep_ttl_ms)
+            else:
+                state.remove()
+            return
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True, copy=False)
+        )
+        # earlier-arrived order: (ts, id) — ties break on id
+        batch = batch.sort_values(
+            [ts_col, "_ndid"], kind="stable"
+        ).reset_index(drop=True)
+        sig_mat = np.stack(batch["_ndsig"].to_numpy()).astype(np.int64)
+        ids = batch["_ndid"].to_numpy()
+        ts_ms = (
+            batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        )
+        dup = np.zeros(len(batch), dtype=bool)
+
+        bkts = batch["_ndbkt"].to_numpy()
+        # one argsort + split, NOT a per-bucket boolean scan: with U
+        # distinct buckets in the batch a `bkts == b` scan per bucket
+        # is O(U·n) — measured 10x the whole operator's cost. The
+        # stable sort preserves the (ts, id) order within each bucket.
+        order = np.argsort(bkts, kind="stable")
+        uniq, starts = np.unique(bkts[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for u_i in range(len(uniq)):
+            b = uniq[u_i]
+            rows = order[bounds[u_i]:bounds[u_i + 1]]
+            reps = cell.get(b)
+            if reps is not None:
+                r_ids, r_mat, r_last = reps
+            else:
+                r_ids = np.array([], dtype=np.int64)
+                r_mat = np.empty((0, sig_mat.shape[1]), dtype=np.int64)
+                r_last = np.array([], dtype=np.int64)
+            # ALL rows vs existing reps in one broadcast compare (the
+            # steady-state path: on a re-ingest every row hits here);
+            # the residual python loop only walks rows that matched NO
+            # existing rep, because in-batch dup decisions depend on
+            # which earlier rows survived. Measured: the per-row form
+            # was ~4s/batch on the re-ingest fixture, this is ~0.
+            if len(r_mat):
+                agree = (
+                    sig_mat[rows][:, None, :] == r_mat[None, :, :]
+                ).mean(axis=2)
+                hit_mask = (agree >= min_est).any(axis=1)
+                if hit_mask.any():
+                    matched = agree[hit_mask] >= min_est  # nb_hit × r
+                    upd = np.where(
+                        matched, ts_ms[rows][hit_mask, None], np.int64(0)
+                    ).max(axis=0)
+                    r_last = np.maximum(r_last, upd)
+                    dup[rows[hit_mask]] = True
+                residual = rows[~hit_mask]
+            else:
+                residual = rows
+            novel_rows: list[int] = []
+            for i in residual:
+                hit = False
+                if novel_rows:
+                    a = _agree_frac(sig_mat[i], sig_mat[novel_rows])
+                    hit = bool((a >= min_est).any())
+                if hit:
+                    dup[i] = True
+                else:
+                    novel_rows.append(i)
+            if novel_rows:
+                room = max(0, max_reps - len(r_ids))
+                take = novel_rows[:room]  # overflow: under-dedup, documented
+                if take:
+                    r_ids = np.concatenate([r_ids, ids[take]])
+                    r_mat = np.vstack([r_mat, sig_mat[take]])
+                    r_last = np.concatenate([r_last, ts_ms[take]])
+            if len(r_ids):
+                cell[b] = (r_ids, r_mat, r_last)
+            elif b in cell:
+                del cell[b]
+
+        if cell:
+            _save_cell(state, cell)
+            state.setTimeoutTimestamp(wm + rep_ttl_ms)
+        else:
+            state.remove()
+        out = batch[out_cols].copy()
+        out["is_dup"] = dup
+        yield out
+
+    return fn
+
+
+def streaming_neardup_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts: str = "ts",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    watermark: str = "2 hours",
+    rep_ttl_ms: int = 2 * 3600 * 1000,
+    n_state_buckets: int = 64,
+    max_reps_per_bucket: int = 100_000,
+    sig_mode: str = "arrow",
+) -> DataFrame:
+    """Per-(doc, band) near-dup verdicts: every input row comes back
+    ``n_bands`` times with ``is_dup`` per band; resolve with
+    :func:`resolve_neardup_verdicts` (a doc is dup iff ANY band says
+    so — all its band rows land in the same micro-batch). Shuffle is
+    |docs|·n_bands rows (text rides along once per band, the batch
+    band join's geometry)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows_per_band = n_hashes // n_bands
+    if sig_mode == "arrow":
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _sig_udf(texts: pd.Series, ids: pd.Series) -> pd.Series:
+            if not len(texts):
+                return pd.Series([], dtype=object)
+            return pd.Series(
+                list(minhash_sigs_pandas(texts, ids, n_hashes, shingle_n))
+            )
+
+        sig = _sig_udf(F.col(text_col), F.col(id_col))
+    elif sig_mode == "catalyst":
+        # the batch ladder's JVM form — ~0.65 ms/doc interpreted HOF
+        # evaluation, kept for A/B parity runs
+        sig = minhash_sig_col(
+            _shingle_hashes(text_col, shingle_n, hash_fn), n_hashes
+        )
+    else:
+        raise ValueError(f"sig_mode must be arrow|catalyst: {sig_mode}")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.slice("_ndsig", b * rows_per_band + 1, rows_per_band),
+                ).alias("bkt"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    in_cols = df.columns
+    banded = (
+        df.withColumn("_ndsig", sig)
+        .withColumn("_ndid", F.col(id_col))
+        .withColumn("_nde", F.explode(entries))
+        .select(
+            *in_cols,
+            "_ndsig",
+            "_ndid",
+            F.col("_nde.band").alias("band"),
+            F.col("_nde.bkt").alias("_ndbkt"),
+        )
+        .withColumn(
+            "_ndgrp",
+            F.pmod(F.col("_ndbkt"), F.lit(n_state_buckets)).cast("int"),
+        )
+    )
+    out_cols = [*in_cols, "band"]
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols]
+        + [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+    return (
+        banded.withWatermark(ts, watermark)
+        .groupBy("_ndgrp")
+        .applyInPandasWithState(
+            _make_cell_fn(
+                out_cols,
+                min_est_jaccard,
+                rep_ttl_ms,
+                max_reps_per_bucket,
+                ts_col=ts,
+            ),
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def resolve_neardup_verdicts(
+    vdf: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch-side resolve (inside ``foreachBatch``): collapse a
+    micro-batch of band verdicts to the KEPT documents — dup iff any
+    band flagged it; all non-verdict columns are identical across a
+    doc's band rows, so ``first()`` reconstructs the document."""
+    carry = [c for c in vdf.columns if c not in (id_col, "band", "is_dup")]
+    return (
+        vdf.groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in carry],
+            F.max("is_dup").alias("_dup"),
+        )
+        .filter(~F.col("_dup"))
+        .drop("_dup")
+    )
+
+
+def neardup_filter_foreach_batch(sink_fn, id_col: str = "doc_id"):
+    """Compose resolve + a sink's foreach_batch: pass the result of
+    ``IdempotentKeyedSink.foreach_batch()`` (or any (df, epoch) fn)."""
+
+    def fn(batch_df, epoch_id):
+        sink_fn(resolve_neardup_verdicts(batch_df, id_col), epoch_id)
+
+    return fn
