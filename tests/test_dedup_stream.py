@@ -151,3 +151,62 @@ def test_foreach_batch_composition(spark, corpus, tmp_path):
     out = sink.read(spark).toPandas()
     assert out["doc_id"].is_unique and len(out) > 0
     assert {"doc_id", "text", "ts"} <= set(out.columns)
+
+
+def test_stream_kill_resume_preserves_decisions(
+    spark, corpus, expected_keep, tmp_path
+):
+    """Restart mid-stream from the checkpoint: rep state must carry
+    over so post-resume decisions are identical to the uninterrupted
+    run (and the sink stays exactly-once under epoch replay)."""
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    in_dir = tmp_path / "in_kr"
+    os.makedirs(in_dir)
+    parts = np.array_split(np.arange(len(corpus)), 4)
+    for i, idx in enumerate(parts):
+        corpus.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    sink = IdempotentKeyedSink(
+        str(tmp_path / "out_kr"), keys=["doc_id"],
+        dedup_mode="epoch_overwrite", track_counts=False,
+    )
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        v = streaming_neardup_verdicts(
+            src, min_est_jaccard=MIN_EST, n_hashes=N_HASHES,
+            n_bands=N_BANDS,
+        )
+        return (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_kr"))
+            .foreachBatch(
+                neardup_filter_foreach_batch(sink.foreach_batch())
+            )
+            .start()
+        )
+
+    import time as _time
+
+    q = start()
+    while len(os.listdir(sink.meta_path)) < 2:  # ≥2 committed epochs
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    out = sink.read(spark).select("doc_id").toPandas()
+    assert out["doc_id"].is_unique
+    assert set(out["doc_id"]) == expected_keep
