@@ -620,6 +620,24 @@ def _emb_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs_ivf(emb, threshold=0.4, dim=64, n_probes=2)
 
 
+def _emb_neardup_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF near-dup with the TRAINED coarse quantizer: cells track the
+    # data distribution, so multi-probe candidates concentrate where
+    # the near-dups actually are (same centroid protocol as
+    # emb_knn_ivf_trained — 6-decimal rounding, numpy-replica oracle)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        emb, dim=64, n_centroids=16, seed=11, n_iter=5, init="kpp"
+    )
+    return S.neardup_pairs_ivf(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        threshold=0.4,
+        dim=64,
+        n_probes=2,
+        centroids=cents,
+    )
+
+
 def _emb_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected components over the LSH near-dup graph (iterative
     # min-label propagation; driver loop schedules rounds only) —
@@ -765,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _emb_neardup,
         "emb_neardup_lsh": _emb_neardup_lsh,
         "emb_neardup_ivf": _emb_neardup_ivf,
+        "emb_neardup_ivf_trained": _emb_neardup_ivf_trained,
         "emb_neardup_groups": _emb_neardup_groups,
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
@@ -906,14 +925,18 @@ def _neardup_groups_oracle(threshold: float = 0.4) -> str:
 
 
 def _neardup_ivf_oracle(
-    threshold: float = 0.4, n_centroids: int = 16, n_probes: int = 2
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    cents: list[list[float]] | None = None,
 ) -> str:
     """Multi-probe IVF near-dup mirror: every vector indexes into its
     top-``n_probes`` cells (same dot/rank tie rule as the knn oracle),
     pairs sharing a cell are candidates, exact-cosine verified."""
     from dbus_spark.operators.similarity import ivf_centroids
 
-    cents = ivf_centroids(n_centroids, 64, seed=11)
+    if cents is None:
+        cents = ivf_centroids(n_centroids, 64, seed=11)
     dots = ", ".join(
         "list_dot_product(embedding::DOUBLE[], [{c}]::DOUBLE[])".format(
             c=", ".join(repr(float(x)) for x in cent)
@@ -1020,8 +1043,39 @@ def _knn_ivf_trained_oracle() -> str | None:
     return _IVF_TRAINED_ORACLE_CACHE
 
 
+def _neardup_ivf_trained_oracle() -> str | None:
+    """Trained-quantizer variant of the IVF near-dup oracle — same
+    numpy-replica centroid protocol (and the same sf0.01 pinning
+    rationale) as :func:`_knn_ivf_trained_oracle`."""
+    global _ND_IVF_TRAINED_ORACLE_CACHE
+    if _ND_IVF_TRAINED_ORACLE_CACHE is not _UNSET:
+        return _ND_IVF_TRAINED_ORACLE_CACHE
+    try:
+        import numpy as np
+        import pandas as pd
+
+        from dbus_spark.operators.similarity import kmeans_centroids_local
+
+        pdf = pd.read_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        cents = kmeans_centroids_local(
+            np.stack(pdf["embedding"].to_numpy()),
+            n_centroids=16,
+            seed=11,
+            n_iter=5,
+            init="kpp",
+            ids=pdf["vec_id"].to_numpy(),
+        )
+        _ND_IVF_TRAINED_ORACLE_CACHE = _neardup_ivf_oracle(cents=cents)
+    except (FileNotFoundError, OSError):
+        _ND_IVF_TRAINED_ORACLE_CACHE = None
+    return _ND_IVF_TRAINED_ORACLE_CACHE
+
+
 _UNSET = object()
 _IVF_TRAINED_ORACLE_CACHE = _UNSET
+_ND_IVF_TRAINED_ORACLE_CACHE = _UNSET
 
 
 _LANG_SCORES = """
@@ -1452,6 +1506,7 @@ def _oracle_sql_all() -> dict[str, str | None]:
         "emb_knn_lsh": _knn_lsh_oracle(),
         "emb_neardup_lsh": _neardup_lsh_oracle(),
         "emb_neardup_ivf": _neardup_ivf_oracle(),
+        "emb_neardup_ivf_trained": _neardup_ivf_trained_oracle(),
         "emb_neardup_groups": _neardup_groups_oracle(),
         "emb_knn_ivf": _knn_ivf_oracle(),
         "emb_knn_ivf_trained": _knn_ivf_trained_oracle(),

@@ -67,6 +67,7 @@ BATCH_QUERIES = [
     "emb_neardup",
     "emb_neardup_lsh",
     "emb_neardup_ivf",
+    "emb_neardup_ivf_trained",
     "emb_neardup_groups",
     "emb_knn_lsh",
     "emb_knn_ivf",

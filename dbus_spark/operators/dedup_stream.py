@@ -347,12 +347,25 @@ def streaming_neardup_verdicts(
         ]
     )
     in_cols = df.columns
+    # payload columns ride on the band-0 row ONLY (NULL elsewhere):
+    # the state cells need just (id, ts, sig, bucket), so carrying
+    # text x n_bands through the shuffle and both Arrow hops is pure
+    # waste; resolve reconstructs the doc with first(ignorenulls)
+    always = {id_col, ts}
+    carried = [
+        F.col(c)
+        if c in always
+        else F.when(F.col("_nde.band") == 0, F.col(c))
+        .otherwise(F.lit(None))
+        .alias(c)
+        for c in in_cols
+    ]
     banded = (
         df.withColumn("_ndsig", sig)
         .withColumn("_ndid", F.col(id_col))
         .withColumn("_nde", F.explode(entries))
         .select(
-            *in_cols,
+            *carried,
             "_ndsig",
             "_ndid",
             F.col("_nde.band").alias("band"),
@@ -395,13 +408,13 @@ def resolve_neardup_verdicts(
 ) -> DataFrame:
     """Batch-side resolve (inside ``foreachBatch``): collapse a
     micro-batch of band verdicts to the KEPT documents — dup iff any
-    band flagged it; all non-verdict columns are identical across a
-    doc's band rows, so ``first()`` reconstructs the document."""
+    band flagged it; payload columns ride only the band-0 row (NULL on
+    the others), so ``first(ignorenulls)`` reconstructs the document."""
     carry = [c for c in vdf.columns if c not in (id_col, "band", "is_dup")]
     return (
         vdf.groupBy(id_col)
         .agg(
-            *[F.first(c).alias(c) for c in carry],
+            *[F.first(c, ignorenulls=True).alias(c) for c in carry],
             F.max("is_dup").alias("_dup"),
         )
         .filter(~F.col("_dup"))
