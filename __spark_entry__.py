@@ -539,6 +539,12 @@ def _corpus_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_idf(docs)
 
 
+def _doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc top-5 TF-IDF terms — keyword extraction over the corpus
+    docs = _docs(spark, sf_dir)
+    return TX.tfidf_topk(docs, k=5)
+
+
 def _doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return TX.gopher_quality(docs)
@@ -770,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_est_jaccard": _doc_lsh_est_jaccard,
         "doc_neardup_groups": _doc_neardup_groups,
         "corpus_idf": _corpus_idf,
+        "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_neardup": _doc_simhash_neardup,
@@ -1375,6 +1382,22 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "SELECT token, COUNT(*) AS df, "
             "ROUND(ln((nd + 1.0) / (COUNT(*) + 1)) + 1, 4) AS idf "
             "FROM ex, n GROUP BY token, nd"
+        ),
+        "doc_tfidf_topk": (
+            f"WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT COUNT(*) AS nd FROM documents), "
+            "idf AS (SELECT token, "
+            "  ROUND(ln((nd + 1.0) / (COUNT(DISTINCT doc_id) + 1)) + 1, 4) "
+            "  AS idf FROM tk, n GROUP BY token, nd), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "  ROUND(tf.tf * idf.idf, 4) AS score "
+            "  FROM tf JOIN idf USING (token)), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, token ASC) AS rank FROM s) "
+            "SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 5"
         ),
         "doc_simhash": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "

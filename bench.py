@@ -54,6 +54,7 @@ BATCH_QUERIES = [
     "doc_lsh_est_jaccard",
     "doc_neardup_groups",
     "corpus_idf",
+    "doc_tfidf_topk",
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_neardup",

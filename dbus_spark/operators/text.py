@@ -243,3 +243,45 @@ def corpus_idf(
             ).alias("idf"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (tf × the smoothed
+    :func:`corpus_idf` idf; ties score DESC then token ASC) — the
+    keyword/feature extraction a retrieval or curriculum pipeline runs
+    over the corpus. Two shuffles: (doc, token) term counts, then the
+    token-keyed idf join; the final top-k is a per-doc window on the
+    doc-keyed shuffle. The idf side is |vocab|-sized — broadcast it
+    upstream if the vocabulary fits (at web scale it often doesn't;
+    the sort-merge join on token is the safe default).
+
+    The idf factor is the ROUNDED (4 dp) column from
+    :func:`corpus_idf` — rounding before the multiply is what keeps
+    the score reproducible across engines (the oracle mirrors it)."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = corpus_idf(df, text_col).select("token", "idf")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(idf, on="token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.col("idf"), 4).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
