@@ -133,6 +133,8 @@ def minhash_sigs_pandas(
     if len(have):
         out[have] = np.minimum.reduceat(perms, starts, axis=0)
     return out
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType())])
 
 
