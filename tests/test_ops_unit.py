@@ -641,3 +641,38 @@ def test_doc_neardup_groups_keep_one(spark):
     assert len(kept) == g["grp"].nunique()
     # the fixture has near-dup docs: at least one non-trivial group
     assert g["grp"].nunique() < len(g)
+
+
+def test_components_from_pairs_chain_and_singletons(spark):
+    """The shared CC core directly: a long chain collapses to one
+    min-label group in BOTH strategies, edge-free nodes stay
+    singletons, and the non-convergence guard warns instead of
+    silently under-merging."""
+    import warnings
+
+    from dbus_spark.operators.graph import components_from_pairs
+
+    # chain 0-1-2-...-9 plus isolated nodes 100, 101
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + [100, 101]], "vec_id long"
+    )
+    for thr in (100_000, 0):  # union-find path, then distributed loop
+        got = {
+            (r.vec_id, r.grp)
+            for r in components_from_pairs(
+                pairs, ids, "vec_id", small_graph_threshold=thr
+            ).collect()
+        }
+        expected = {(i, 0) for i in range(10)} | {(100, 100), (101, 101)}
+        assert got == expected, f"threshold={thr}"
+
+    # diameter > max_iter: the loop must WARN about split components
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        components_from_pairs(
+            pairs, ids, "vec_id", small_graph_threshold=0, max_iter=2
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
