@@ -742,7 +742,20 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry rotation (round 5): the driver's correctness harness records
+    # at most 50 rows, and this registry holds 55 queries.  The five entries
+    # that lead the dict are exactly the five that silently fell out of
+    # CORRECTNESS_r04 (they were the registry tail); five long-stable,
+    # code-unchanged queries (event_json, sales_rollup,
+    # customer_running_spend, topk_per_user, customers_no_big_orders — all
+    # green every round since r1/r2) now sit out at the tail.  The rotation
+    # is documented in COVERAGE.md § "Registry rotation".
     return {
+        "emb_knn_ivf": _emb_knn_ivf,
+        "emb_knn_ivf_trained": _emb_knn_ivf_trained,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -756,13 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dispatch": _cdc_dispatch,
         "dim_enrich": _dim_enrich,
         "ordered_seq": _ordered_seq,
-        "topk_per_user": _topk_per_user,
-        "event_json": _event_json,
         "event_quantiles": _event_quantiles,
-        "sales_rollup": _sales_rollup,
-        "customer_running_spend": _customer_running_spend,
         "tpch_q3_lite": _tpch_q3_lite,
-        "customers_no_big_orders": _customers_no_big_orders,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
@@ -793,11 +801,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_ivf_trained": _emb_neardup_ivf_trained,
         "emb_neardup_groups": _emb_neardup_groups,
         "emb_knn_lsh": _emb_knn_lsh,
-        "emb_knn_ivf": _emb_knn_ivf,
-        "emb_knn_ivf_trained": _emb_knn_ivf_trained,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frames": _multimodal_frames,
-        "multimodal_resize": _multimodal_resize,
+        # --- rotation tail: long-stable, code-unchanged since their green
+        # --- rows in CORRECTNESS_r01..r04; sat out of the driver's 50-row
+        # --- window this round (still covered by tests/test_entry_oracle.py).
+        "topk_per_user": _topk_per_user,
+        "event_json": _event_json,
+        "sales_rollup": _sales_rollup,
+        "customer_running_spend": _customer_running_spend,
+        "customers_no_big_orders": _customers_no_big_orders,
     }
 
 
