@@ -300,18 +300,38 @@ def run_neardup_ingest_streaming(
             )
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        # UNLIKE the exact-dedup ingest (JVM state store, fixed
-        # per-partition commit overhead -> few partitions), the
-        # near-dup state fn is python-worker-bound: partitions = cores
-        # so all workers run; the 64 state cells spread across them
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 << 10))
+        old_ssp = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        # r5 sweep (sp, n_state_buckets) over {8,16,32}x{8,16,64}: the
+        # r4 setting (32, 64) was the worst cell — at 12.5k-doc
+        # micro-batches the state stage is per-partition-overhead
+        # bound (state-store commit + python worker first-call warmup
+        # per extra worker), not compute bound, so FEWER, fatter cells
+        # win (16/16 = 1.5x over 32/64, decisions identical). Larger
+        # input splits likewise: fewer map tasks -> fewer distinct
+        # workers paying the kernel's first-call cost. State store:
+        # the near-dup filter's state is BOUNDED sketches (cells x
+        # per-bucket cap x 128-byte sigs — MBs, not the unbounded
+        # key-space RocksDB exists for), so the in-memory HDFS-backed
+        # provider wins another ~1.4x by skipping RocksDB's
+        # per-instance spin-up/commit; RocksDB stays the right launch
+        # choice only when cap x buckets exceeds executor memory.
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
         src = (
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-        v = streaming_neardup_verdicts(src, watermark="2 hours")
+        v = streaming_neardup_verdicts(
+            src, watermark="2 hours", n_state_buckets=16
+        )
         sink = IdempotentKeyedSink(
             os.path.join(work, "out"),
             keys=["doc_id"],
@@ -343,6 +363,9 @@ def run_neardup_ingest_streaming(
         try:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_ssp
+            )
         except NameError:
             pass
         shutil.rmtree(work, ignore_errors=True)

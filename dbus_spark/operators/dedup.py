@@ -539,6 +539,13 @@ def _band_candidates(
     distinct (id_a < id_b) pairs. The ONE implementation behind both
     ``lsh_candidate_pairs`` and ``lsh_estimated_jaccard`` — a banding
     change cannot silently diverge their candidate sets."""
+    if n_hashes % n_bands != 0:
+        # same guard as the streaming filter: a non-divisible split
+        # silently drops the trailing signature slots from every band
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by n_bands "
+            f"({n_bands})"
+        )
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         id_col,

@@ -73,6 +73,10 @@ from dbus_spark.operators.dedup import (
 
 _STATE_FMT_V1 = b"\x01"
 
+# polynomial-rolling base for combining token hashes into shingle
+# hashes (any constant < MINHASH_P works; part of the sig scheme)
+_ROLL_B = 1_000_003
+
 # Java \s is ASCII-only and Spark trim strips 0x20 only — the JVM
 # tokenization parity lesson (see dedup.shingles_exploded_arrow)
 _JAVA_WS = r"[ \t\n\x0b\f\r]+"
@@ -97,9 +101,13 @@ def minhash_sigs_pandas(
     (don't change n_hashes/shingle_n/hash on a live checkpoint).
 
     Documents with fewer than ``shingle_n`` tokens have no shingles;
-    they get a per-doc unique sentinel signature (-id-1) so they never
-    match anything — near-dup similarity is undefined for them, and
-    'always kept, never stored' is the only non-surprising answer."""
+    they get a per-doc unique sentinel signature so they never match
+    anything — near-dup similarity is undefined for them, and 'always
+    kept, never stored' is the only non-surprising answer. Integer ids
+    keep the original ``-id-1`` sentinel (checkpoint compat); any other
+    id dtype (string doc ids are a public-API option) derives it from a
+    64-bit hash of the id instead of crashing the Arrow UDF on the
+    int64 cast (ADVICE r4)."""
     n = len(texts)
     out = np.empty((n, n_hashes), dtype=np.int64)
     toks = (
@@ -108,18 +116,38 @@ def minhash_sigs_pandas(
         .str.split(_JAVA_WS, regex=True)
         .explode()
     )
-    g = toks.groupby(level=0)
-    sh = toks
-    for k in range(1, shingle_n):
-        sh = sh + " " + g.shift(-k)
-    sh = sh.dropna()
-    doc_of = sh.index.to_numpy()
-    base = (
-        pd.util.hash_pandas_object(sh, index=False).to_numpy().astype(
-            np.int64
-        )
-        % MINHASH_P
-    )
+    # shingle hash = polynomial roll of the TOKEN hashes — one string
+    # hash per token, then pure int64 arithmetic. The r4 form built
+    # shingle STRINGS (`tok + " " + shift(-k)`) before hashing: the
+    # object-dtype concat was 55% of the kernel (0.22 s of 0.39 s per
+    # 12.5k docs, measured r5). Rolling keeps every intermediate
+    # < 2^62 (operands < P = 2^31-1), so no int64 overflow. This
+    # changes the signature scheme vs r4 — part of the checkpoint
+    # contract (don't upgrade across a live checkpoint), same as the
+    # hash_pandas_object-vs-xxhash64 note above.
+    doc_of_t = toks.index.to_numpy()
+    th = (
+        pd.util.hash_pandas_object(toks, index=False).to_numpy()
+        % np.uint64(MINHASH_P)
+    ).astype(np.int64)
+    m = len(th) - (shingle_n - 1)
+    if m > 0:
+        acc = th[:m].copy()
+        for k in range(1, shingle_n):
+            acc = (acc * _ROLL_B + th[k : m + k]) % MINHASH_P
+        # a window is a shingle iff it stays inside one doc; doc_of is
+        # non-decreasing, so equal endpoints ⇒ the whole window matches
+        valid = doc_of_t[:m] == doc_of_t[shingle_n - 1 : m + shingle_n - 1]
+        # a null text explodes to a single NaN token (always alone in
+        # its doc): masking the window START kills exactly those
+        # windows — matters only for shingle_n == 1, where the NaN
+        # "shingle" would otherwise match across null docs
+        valid &= toks.notna().to_numpy()[:m]
+        base = acc[valid]
+        doc_of = doc_of_t[:m][valid]
+    else:
+        base = np.empty(0, dtype=np.int64)
+        doc_of = np.empty(0, dtype=np.int64)
     # one (shingles × n_hashes) affine-permutation matrix, then a
     # per-doc segmented min (doc_of is non-decreasing: explode+shift
     # preserves row order)
@@ -129,7 +157,16 @@ def minhash_sigs_pandas(
     )
     have = np.unique(doc_of)
     starts = np.searchsorted(doc_of, have)
-    out[:] = -(ids.to_numpy(dtype=np.int64)[:, None]) - 1  # sentinel
+    if pd.api.types.is_integer_dtype(ids):
+        sent = ids.to_numpy(dtype=np.int64)
+    else:  # string/other ids: hash to a non-negative int64
+        sent = (
+            pd.util.hash_pandas_object(
+                ids.reset_index(drop=True), index=False
+            ).to_numpy()
+            % np.uint64(2**62)
+        ).astype(np.int64)
+    out[:] = -sent[:, None] - 1  # per-doc sentinel, always negative
     if len(have):
         out[have] = np.minimum.reduceat(perms, starts, axis=0)
     return out
@@ -168,11 +205,6 @@ def _prune_cell(cell: dict, cutoff_ms: int) -> dict:
         elif keep.any():
             out[b] = (ids[keep], mat[keep], last[keep])
     return out
-
-
-def _agree_frac(sig: np.ndarray, mat: np.ndarray) -> np.ndarray:
-    """Fraction of agreeing signature slots of one sig vs each rep row."""
-    return (mat == sig[None, :]).mean(axis=1)
 
 
 def _make_cell_fn(
@@ -259,20 +291,45 @@ def _make_cell_fn(
                 residual = rows[~hit_mask]
             else:
                 residual = rows
-            novel_rows: list[int] = []
-            for i in residual:
-                hit = False
-                if novel_rows:
-                    a = _agree_frac(sig_mat[i], sig_mat[novel_rows])
-                    hit = bool((a >= min_est).any())
-                if hit:
-                    dup[i] = True
+            # in-batch novel-vs-novel pass, BLOCKWISE (r5): the per-row
+            # python form was O(novel^2) with a numpy call per row — a
+            # degenerate first batch funneling one hot bucket crawled.
+            # Chunks of 256 keep the forward data dependency (a row is
+            # dup iff it matches a SURVIVING earlier row) while doing
+            # all signature compares as two vectorized ops per chunk:
+            # chunk-vs-accumulated-novel, then a precomputed in-chunk
+            # triangle walked with plain bool lookups.
+            novel_rows = np.empty(0, dtype=residual.dtype)
+            _CHUNK = 256
+            for c0 in range(0, len(residual), _CHUNK):
+                chunk = residual[c0 : c0 + _CHUNK]
+                cs = sig_mat[chunk]
+                if len(novel_rows):
+                    a = (
+                        cs[:, None, :] == sig_mat[novel_rows][None, :, :]
+                    ).mean(axis=2)
+                    hit_prev = (a >= min_est).any(axis=1)
                 else:
-                    novel_rows.append(i)
-            if novel_rows:
+                    hit_prev = np.zeros(len(chunk), dtype=bool)
+                am = (cs[:, None, :] == cs[None, :, :]).mean(
+                    axis=2
+                ) >= min_est
+                keep_local: list[int] = []
+                for j in range(len(chunk)):
+                    if hit_prev[j] or (
+                        keep_local and am[j, keep_local].any()
+                    ):
+                        dup[chunk[j]] = True
+                    else:
+                        keep_local.append(j)
+                if keep_local:
+                    novel_rows = np.concatenate(
+                        [novel_rows, chunk[keep_local]]
+                    )
+            if len(novel_rows):
                 room = max(0, max_reps - len(r_ids))
                 take = novel_rows[:room]  # overflow: under-dedup, documented
-                if take:
+                if len(take):
                     r_ids = np.concatenate([r_ids, ids[take]])
                     r_mat = np.vstack([r_mat, sig_mat[take]])
                     r_last = np.concatenate([r_last, ts_ms[take]])
@@ -286,8 +343,15 @@ def _make_cell_fn(
             state.setTimeoutTimestamp(wm + rep_ttl_ms)
         else:
             state.remove()
-        out = batch[out_cols].copy()
-        out["is_dup"] = dup
+        # emit only rows that can change the resolve outcome: the
+        # band-0 row (payload carrier — guarantees every doc appears)
+        # plus any dup verdict. A not-dup non-band-0 row contributes
+        # nothing to max(is_dup), so shipping it back through Arrow and
+        # the resolve groupBy was pure overhead (~n_bands x fewer
+        # output rows on a mostly-novel stream; measured r5).
+        emit = (batch["band"].to_numpy() == 0) | dup
+        out = batch.loc[emit, out_cols].copy()
+        out["is_dup"] = dup[emit]
         yield out
 
     return fn
@@ -309,14 +373,25 @@ def streaming_neardup_verdicts(
     max_reps_per_bucket: int = 100_000,
     sig_mode: str = "arrow",
 ) -> DataFrame:
-    """Per-(doc, band) near-dup verdicts: every input row comes back
-    ``n_bands`` times with ``is_dup`` per band; resolve with
-    :func:`resolve_neardup_verdicts` (a doc is dup iff ANY band says
-    so — all its band rows land in the same micro-batch). Shuffle is
-    |docs|·n_bands rows (text rides along once per band, the batch
-    band join's geometry)."""
+    """Per-(doc, band) near-dup verdicts: every input row fans out to
+    ``n_bands`` state cells; the cells emit back the band-0 row (the
+    payload carrier — every doc appears exactly once) plus any row a
+    band flagged dup. Resolve with :func:`resolve_neardup_verdicts`
+    (a doc is dup iff ANY band says so — all its band rows land in the
+    same micro-batch). Shuffle is |docs|·n_bands rows in (text rides
+    along once per band, the batch band join's geometry) but only
+    ~|docs| + |dup verdicts| rows back out."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if n_hashes % n_bands != 0:
+        # a non-divisible split would silently exclude the trailing
+        # n_hashes % n_bands signature slots from every band key while
+        # the agreement estimate still used them (ADVICE r4)
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by n_bands "
+            f"({n_bands}): trailing signature slots would be silently "
+            f"excluded from every band key"
+        )
     rows_per_band = n_hashes // n_bands
     if sig_mode == "arrow":
         @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -330,10 +405,20 @@ def streaming_neardup_verdicts(
         sig = _sig_udf(F.col(text_col), F.col(id_col))
     elif sig_mode == "catalyst":
         # the batch ladder's JVM form — ~0.65 ms/doc interpreted HOF
-        # evaluation, kept for A/B parity runs
-        sig = minhash_sig_col(
+        # evaluation, kept for A/B parity runs. A null text (or any
+        # doc with < shingle_n tokens) yields a null / null-element
+        # signature from array_min-over-empty; coalesce it to the same
+        # per-doc sentinel contract as the arrow kernel instead of
+        # crashing np.stack for the whole micro-batch (ADVICE r4).
+        raw_sig = minhash_sig_col(
             _shingle_hashes(text_col, shingle_n, hash_fn), n_hashes
         )
+        sentinel = (
+            -F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**62)) - F.lit(1)
+        )
+        sig = F.when(
+            F.element_at(raw_sig, 1).isNotNull(), raw_sig
+        ).otherwise(F.array_repeat(sentinel, n_hashes))
     else:
         raise ValueError(f"sig_mode must be arrow|catalyst: {sig_mode}")
     entries = F.array(

@@ -43,6 +43,14 @@ def components_from_pairs(
     with the min id of its connected component in ``pairs``
     (columns ``id_a``/``id_b``); nodes in no edge are their own
     singleton group. Returns columns ``(id_col, grp)``."""
+    # internal join frames use underscore-prefixed columns so a caller's
+    # id_col can never alias-collide with them (id_col='id'/'label' used
+    # to make the joins below ambiguous); 'grp' is the public output name
+    if id_col in {"_cc_id", "_cc_label", "grp"}:
+        raise ValueError(
+            f"id_col {id_col!r} collides with components_from_pairs "
+            f"output/internal columns ('grp', '_cc_id', '_cc_label')"
+        )
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
 
     n_edges = pairs.count()
@@ -73,17 +81,19 @@ def components_from_pairs(
         if comp_min:
             labels = spark.createDataFrame(
                 [(n, comp_min[find(n)]) for n in parent],
-                f"id {id_type}, label {id_type}",
+                f"_cc_id {id_type}, _cc_label {id_type}",
             )
         else:
             labels = spark.createDataFrame(
-                [], f"id {id_type}, label {id_type}"
+                [], f"_cc_id {id_type}, _cc_label {id_type}"
             )
         return (
-            ids.join(F.broadcast(labels), ids[id_col] == labels.id, "left")
+            ids.join(
+                F.broadcast(labels), ids[id_col] == labels._cc_id, "left"
+            )
             .select(
                 F.col(id_col),
-                F.coalesce("label", F.col(id_col)).alias("grp"),
+                F.coalesce("_cc_label", F.col(id_col)).alias("grp"),
             )
         )
 
@@ -94,28 +104,28 @@ def components_from_pairs(
     ).localCheckpoint(eager=True)
 
     labels = (
-        edges.select(F.col("id_a").alias("id"))
+        edges.select(F.col("id_a").alias("_cc_id"))
         .distinct()
-        .withColumn("label", F.col("id"))
+        .withColumn("_cc_label", F.col("_cc_id"))
         .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.id_b == labels.id)
+            edges.join(labels, edges.id_b == labels._cc_id)
             .groupBy("id_a")
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("_cc_label").alias("nmin"))
         )
         updated = (
             labels.join(
-                neighbor_min, labels.id == neighbor_min.id_a, "left"
+                neighbor_min, labels._cc_id == neighbor_min.id_a, "left"
             )
             .select(
-                "id",
+                "_cc_id",
                 F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_chg"),
+                    F.col("_cc_label"), F.coalesce("nmin", F.col("_cc_label"))
+                ).alias("_cc_label"),
+                (F.col("nmin") < F.col("_cc_label")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter("_chg").count()
@@ -139,9 +149,9 @@ def components_from_pairs(
                 stacklevel=2,
             )
     return (
-        ids.join(labels, ids[id_col] == labels.id, "left")
+        ids.join(labels, ids[id_col] == labels._cc_id, "left")
         .select(
             F.col(id_col),
-            F.coalesce("label", F.col(id_col)).alias("grp"),
+            F.coalesce("_cc_label", F.col(id_col)).alias("grp"),
         )
     )

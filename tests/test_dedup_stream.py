@@ -210,3 +210,184 @@ def test_stream_kill_resume_preserves_decisions(
     out = sink.read(spark).select("doc_id").toPandas()
     assert out["doc_id"].is_unique
     assert set(out["doc_id"]) == expected_keep
+
+
+def test_string_doc_ids(spark, tmp_path):
+    """ADVICE r4: a string id_col (public-API option) must work — the
+    sentinel derives from a hash of the id instead of an int64 cast."""
+    pdf = generate_documents(120, seed=11)[["doc_id", "text"]]
+    pdf["doc_id"] = "doc-" + pdf["doc_id"].astype(str)
+    # include short docs (< shingle_n tokens) so the sentinel path runs
+    pdf.loc[pdf.index[:5], "text"] = "hi"
+    base = pd.Timestamp("2026-01-01")
+    pdf["ts"] = (
+        base + pd.to_timedelta(np.arange(len(pdf)) * 3, unit="s")
+    ).astype("datetime64[us]")
+    in_dir = tmp_path / "in_str"
+    os.makedirs(in_dir)
+    pdf.to_parquet(in_dir / "b-0000.parquet", index=False)
+    src = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_neardup_verdicts(src, min_est_jaccard=MIN_EST)
+    got: list = []
+
+    def collect(batch_df, _epoch):
+        got.append(
+            resolve_neardup_verdicts(batch_df).select("doc_id").toPandas()
+        )
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_str"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert out["doc_id"].is_unique and 0 < len(out) < len(pdf)
+    # sentinel contract: short docs are always kept, never matched
+    short_ids = set(pdf["doc_id"].iloc[:5])
+    assert short_ids <= set(out["doc_id"])
+
+
+def test_bands_must_divide_hashes(spark):
+    """ADVICE r4: n_hashes % n_bands != 0 silently dropped trailing
+    signature slots from every band key — now a hard error, streaming
+    and batch."""
+    from dbus_spark.operators.dedup import lsh_candidate_pairs
+
+    src = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="divisible"):
+        streaming_neardup_verdicts(src, n_hashes=16, n_bands=3)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(docs, n_hashes=16, n_bands=3)
+
+
+def test_catalyst_mode_null_and_short_text(spark, tmp_path):
+    """ADVICE r4: sig_mode='catalyst' with a null/short text used to
+    produce a null signature and crash np.stack for the whole
+    micro-batch; it now coalesces to the per-doc sentinel."""
+    pdf = generate_documents(60, seed=13)[["doc_id", "text"]]
+    pdf.loc[pdf.index[0], "text"] = None
+    pdf.loc[pdf.index[1], "text"] = "one two"  # < 3 tokens, no shingles
+    base = pd.Timestamp("2026-01-01")
+    pdf["ts"] = (
+        base + pd.to_timedelta(np.arange(len(pdf)) * 3, unit="s")
+    ).astype("datetime64[us]")
+    in_dir = tmp_path / "in_cat"
+    os.makedirs(in_dir)
+    pdf.to_parquet(in_dir / "b-0000.parquet", index=False)
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_neardup_verdicts(
+        src, min_est_jaccard=MIN_EST, sig_mode="catalyst"
+    )
+    got: list = []
+
+    def collect(batch_df, _epoch):
+        got.append(
+            resolve_neardup_verdicts(batch_df).select("doc_id").toPandas()
+        )
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cat"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert out["doc_id"].is_unique and len(out) > 0
+    # the null-text and short-text docs are sentinel rows: always kept
+    assert {pdf["doc_id"].iloc[0], pdf["doc_id"].iloc[1]} <= set(
+        out["doc_id"]
+    )
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the cell fn directly."""
+
+    def __init__(self, wm_ms=10**15):
+        self._wm = wm_ms
+        self._val = None
+        self.hasTimedOut = False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def test_single_hot_bucket_10k_bounded(spark):
+    """VERDICT r4 #3: a degenerate first batch funneling 10k ALL-NOVEL
+    rows into ONE LSH bucket must complete in bounded time — the
+    in-batch novel-vs-novel pass is blockwise-vectorized, not a python
+    loop with a numpy call per row. Decisions must equal the
+    sequential replica's."""
+    import time as _time
+
+    from dbus_spark.operators.dedup_stream import _make_cell_fn
+
+    n, h = 10_000, 16
+    rng = np.random.default_rng(5)
+    # unique random signatures -> every row is novel (worst case);
+    # plant 50 near-dup pairs to pin correctness of the forward pass
+    sig = rng.integers(0, 2**31, size=(n, h)).astype(np.int64)
+    for k in range(50):
+        sig[2 * k + 1] = sig[2 * k]  # exact dup of its predecessor
+    base = pd.Timestamp("2026-01-01").value // 10**3
+    batch = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["x"] * n,
+            "ts": pd.to_datetime(
+                base + np.arange(n, dtype=np.int64), unit="us"
+            ),
+            "band": np.zeros(n, dtype=np.int32),
+            "_ndsig": list(sig),
+            "_ndid": np.arange(n, dtype=np.int64),
+            "_ndbkt": np.zeros(n, dtype=np.int64),  # ONE hot bucket
+        }
+    )
+    fn = _make_cell_fn(
+        ["doc_id", "text", "ts", "band"],
+        min_est=MIN_EST,
+        rep_ttl_ms=10**12,
+        max_reps=10**9,
+    )
+    st = _FakeState()
+    t0 = _time.time()
+    (out,) = list(fn((0,), iter([batch]), st))
+    wall = _time.time() - t0
+    assert wall < 30, f"hot-bucket batch took {wall:.1f}s"
+    dup_ids = set(out.loc[out["is_dup"], "doc_id"])
+    assert dup_ids == {2 * k + 1 for k in range(50)}
+    assert len(out) == n  # all band-0 rows emitted

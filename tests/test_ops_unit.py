@@ -676,3 +676,31 @@ def test_components_from_pairs_chain_and_singletons(spark):
             pairs, ids, "vec_id", small_graph_threshold=0, max_iter=2
         ).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+def test_components_from_pairs_id_col_no_collision(spark):
+    """ADVICE r4: internal join columns must not collide with the
+    caller's id_col — id_col='id' or 'label' used to raise ambiguous
+    AnalysisException; 'grp'/_cc_* are validated away explicitly."""
+    import pytest
+
+    from dbus_spark.operators.graph import components_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    for col in ("id", "label"):
+        ids = spark.createDataFrame(
+            [(i,) for i in (0, 1, 2, 9)], f"{col} long"
+        )
+        for thr in (100_000, 0):
+            got = {
+                (r[col], r.grp)
+                for r in components_from_pairs(
+                    pairs, ids, col, small_graph_threshold=thr
+                ).collect()
+            }
+            assert got == {(0, 0), (1, 0), (2, 0), (9, 9)}, (col, thr)
+
+    ids = spark.createDataFrame([(0,)], "grp long")
+    with pytest.raises(ValueError, match="collides"):
+        components_from_pairs(pairs, ids, "grp")
