@@ -321,17 +321,15 @@ def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (p50/p95/p99 of value per event type)
-    - the OLAP latency-percentile staple. F.percentile is the exact
-    linear-interpolation form (matches DuckDB quantile_cont to the
-    bit); at 100 TB swap percentile_approx (t-digest, mergeable
-    map-side sketch) where exactness is not contractual."""
+    - the OLAP latency-percentile staple. The oracle pins the EXACT
+    arm (F.percentile == DuckDB quantile_cont to the bit); the same
+    helper's exact=False arm is the mergeable percentile_approx
+    sketch for 100 TB (see operators/quantiles.py; both arms are
+    unit-tested against each other and benched side by side)."""
+    from dbus_spark.operators.quantiles import grouped_quantiles
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.95), 4).alias("p95"),
-        F.round(F.percentile("value", 0.99), 4).alias("p99"),
-        F.count("*").alias("n"),
-    )
+    return grouped_quantiles(events, "value", ["event_type"], exact=True)
 
 
 def _sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

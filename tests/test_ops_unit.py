@@ -704,3 +704,37 @@ def test_components_from_pairs_id_col_no_collision(spark):
     ids = spark.createDataFrame([(0,)], "grp long")
     with pytest.raises(ValueError, match="collides"):
         components_from_pairs(pairs, ids, "grp")
+
+def test_grouped_quantiles_both_arms(spark):
+    """VERDICT r4 #5: one quantile API, two physical arms. The exact
+    arm is the oracle-pinned F.percentile; the approx arm
+    (percentile_approx, mergeable sketch — the 100 TB path) must land
+    within its rank-error bound of the exact answer."""
+    from dbus_spark.operators.quantiles import grouped_quantiles
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ex = {
+        r["event_type"]: r
+        for r in grouped_quantiles(events, "value", ["event_type"]).collect()
+    }
+    ap = {
+        r["event_type"]: r
+        for r in grouped_quantiles(
+            events, "value", ["event_type"], exact=False, accuracy=10_000
+        ).collect()
+    }
+    assert ex.keys() == ap.keys() and len(ex) >= 3
+    for k in ex:
+        assert ex[k]["n"] == ap[k]["n"]
+        spread = ex[k]["p99"] - ex[k]["p50"] or 1.0
+        for q in ("p50", "p95", "p99"):
+            # accuracy=10k on ~10k-row groups => ~1-rank error; allow
+            # 2% of the p50-p99 spread for the no-interpolation gap
+            assert abs(ex[k][q] - ap[k][q]) <= 0.02 * abs(spread) + 1e-6, (
+                k, q, ex[k][q], ap[k][q]
+            )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="same length"):
+        grouped_quantiles(events, "value", ["event_type"], probs=(0.5,))

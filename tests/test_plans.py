@@ -307,3 +307,19 @@ def test_neardup_ivf_plan_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan
     assert len(plan) < 40_000, f"plan bloated ({len(plan)} chars)"
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """VERDICT r4 #4: tfidf_topk's tf and idf branches must both read
+    ONE cached tokenized projection — no second tokenization pass, no
+    parquet text scan outside the cache-build lineage."""
+    from dbus_spark.operators.text import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_topk(docs, k=5))
+    # both aggregation branches hit the in-memory token frame
+    assert plan.count("InMemoryTableScan") >= 2
+    # the only FileScan of the text column lives INSIDE the cached
+    # relation's build plan (executed once, already materialized)
+    phys = plan.split("InMemoryRelation")[0]
+    assert "Scan parquet" not in phys and "FileScan" not in phys
