@@ -38,6 +38,10 @@ class TranscriptKnobs:
     jitter_seconds: float = 30.0  # bounded out-of-order arrival horizon
     watermark_seconds: float = 600.0  # horizon used to size late shifts
     hot_conv_frac: float = 0.05  # top conversation holds ~5% of turns
+    # redeliveries whose payload MUTATED in flight (retry stamped a
+    # token) — byte-level dedup can't catch these; the streaming
+    # near-dup filter exists for exactly this shape (r5 fused soak)
+    mutated_dup_frac: float = 0.0
 
 
 def generate_transcripts(
@@ -143,6 +147,32 @@ def generate_transcripts(
         1.0, knobs.jitter_seconds, n_dup
     )
     df = pd.concat([df, dup_rows], ignore_index=True)
+
+    # Mutated redeliveries: same (conv_id, turn_idx), later arrival,
+    # ONE salad word swapped — a retry that stamped/edited the payload.
+    # Byte-identical dedup (fingerprint state) cannot catch these; the
+    # near-dup filter should (high shingle overlap with the original),
+    # and the per-conv ordering frontier is the backstop for the few
+    # short-text ones whose estimated similarity falls under threshold.
+    n_mut = int(total * knobs.mutated_dup_frac)
+    if n_mut:
+        mut = df.iloc[rng.choice(total, size=n_mut, replace=False)].copy()
+        parts = mut["text"].str.split(" ")
+        swap_at = rng.integers(1, parts.str.len().clip(lower=2))
+        repl = vocab[rng.integers(0, len(vocab), n_mut)]
+        mut["text"] = [
+            " ".join(p[:i] + ["re" + w] + p[i + 1 :])
+            for p, i, w in zip(parts, swap_at, repl)
+        ]
+        # the retry re-stamps its event time too (+1s): the original
+        # strictly precedes its mutated copy in (ts, id) order, so a
+        # near-dup filter deterministically keeps the ORIGINAL as the
+        # cluster representative
+        mut["ts"] = mut["ts"] + pd.Timedelta(seconds=1)
+        mut["_arrival"] = mut["_arrival"] + rng.uniform(
+            1.0, knobs.jitter_seconds, n_mut
+        )
+        df = pd.concat([df, mut], ignore_index=True)
 
     df = df.sort_values("_arrival", kind="stable").reset_index(drop=True)
     df["ts"] = df["ts"].astype("datetime64[us]")

@@ -245,6 +245,17 @@ def _make_cell_fn(
         batch = batch.sort_values(
             [ts_col, "_ndid"], kind="stable"
         ).reset_index(drop=True)
+        # byte-identical redeliveries share their doc id (an id names
+        # CONTENT, e.g. a hash of it): collapse same-(id, band) rows to
+        # the first-arrived copy HERE, before verdicts, or the resolve
+        # group for that id would mix one copy's kept row with another
+        # copy's dup verdict and drop the document entirely (found via
+        # the fused-pipeline invariants, r5). No-op for unique-id
+        # streams; cross-batch identical copies are handled by the rep
+        # match (agreement 1.0) as before.
+        batch = batch.drop_duplicates(
+            ["_ndid", "band"], keep="first"
+        ).reset_index(drop=True)
         sig_mat = np.stack(batch["_ndsig"].to_numpy()).astype(np.int64)
         ids = batch["_ndid"].to_numpy()
         ts_ms = (

@@ -209,8 +209,13 @@ def _advance_bucket(
         if not len(pt)
         else pd.concat([pt, new], ignore_index=True, copy=False)
     )
+    # ts in the sort key: among redelivered copies of one turn the
+    # EARLIEST event-time copy wins deterministically (ties: input
+    # order) — same tie-break as the batch twin restore_order_batch's
+    # orderBy(ts). Matters when a retry re-stamped its payload/ts and
+    # upstream filters let both copies through (fused pipeline, r5).
     allp = allp.sort_values(
-        ["conv_id", "turn_idx"], kind="stable"
+        ["conv_id", "turn_idx", "ts"], kind="stable"
     ).drop_duplicates(["conv_id", "turn_idx"])
 
     ni = meta["next_idx"].reindex(touched, fill_value=0)

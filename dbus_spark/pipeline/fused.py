@@ -1,0 +1,174 @@
+"""Fused ingest vertical: enrich → streaming NEAR-dup filter →
+per-conversation ordering → exactly-once sink (VERDICT r4 #6).
+
+The two flagship stateful operators composed end to end over ONE
+transcript stream. Spark cannot run them in one query — chaining two
+``applyInPandasWithState`` operators raises ``AnalysisException:
+Multiple applyInPandasWithStates are not supported`` (verified on
+Spark 4.1; the near-dup resolve is a per-micro-batch OR across state
+cells, which also cannot be expressed as a mid-stream streaming
+aggregation in append mode). So the composition is the engine's BUS
+HOP — the same architecture the reference uses to chain plugin
+stages through its databus (reference: engine/router.go — Input →
+bus → Output are separate goroutine stages, not one call stack):
+
+- **stage A** (query 1): transcript stream → one-pass Arrow enrich →
+  near-dup verdicts (mutated redeliveries share almost all shingles
+  with their original → flagged; byte-identical fingerprint dedup
+  cannot catch them) → per-batch resolve → idempotent keyed sink
+  into the bus directory. Sink key = ``doc_id`` (a hash of
+  (conv_id, turn_idx, text)): each kept delivery lands exactly once
+  even under epoch replay.
+- **stage B** (query 2): file-stream TAIL of the bus directory →
+  per-conversation ordering/dedup state → idempotent sink keyed
+  (conv_id, turn_idx).
+
+Delivery contract across the hop: stage A's sink is exactly-once per
+doc_id, but a stage-A epoch REPLAY rewrites its epoch directory with
+fresh file names, and a file-stream tracks file NAMES — so stage B
+must tolerate re-reads. It does by construction: the ordering
+frontier drops any (conv_id, turn_idx) it has already emitted. That
+is the classic at-least-once bus + idempotent consumer = end-to-end
+exactly-once, and it is also the backstop for the few mutated
+redeliveries whose estimated similarity falls below the near-dup
+threshold (short texts). Watermarks do NOT propagate across the hop:
+each query derives its own from its input — stage A's bounds
+near-dup rep state (TTL), stage B's bounds ordering state. State
+partition counts are per-query launch decisions baked into each
+checkpoint (near-dup wants few fat cells, ordering wants
+bucket-count parallelism — they no longer have to share one
+``spark.sql.shuffle.partitions`` value, which a single-query fusion
+WOULD have forced).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbus_spark.functions.vectorized import doc_enrich_v
+from dbus_spark.operators.dedup_stream import (
+    neardup_filter_foreach_batch,
+    streaming_neardup_verdicts,
+)
+from dbus_spark.operators.ordering import OUT_SCHEMA, ordered_turns_stream
+from dbus_spark.sinks import IdempotentKeyedSink
+
+BUS_SCHEMA = OUT_SCHEMA + ", quality double, n_tokens int, doc_id bigint"
+
+_TURN_COLS = [f.strip().split(" ")[0] for f in OUT_SCHEMA.split(",")]
+
+
+def stage_a_neardup(
+    spark: SparkSession,
+    in_dir: str,
+    bus_dir: str,
+    ckpt_dir: str,
+    watermark: str = "30 minutes",
+    n_state_buckets: int = 16,
+    max_files_per_trigger: int = 2,
+    quality_min: float = 0.0,
+):
+    """Start query 1: enrich → near-dup filter → bus sink. Returns
+    (query, sink)."""
+    src = (
+        spark.readStream.schema(OUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+    enriched = (
+        src.withColumn("e", doc_enrich_v(F.col("text")))
+        .filter(F.col("e.quality") >= quality_min)
+        .select("*", "e.quality", "e.n_tokens")
+        .drop("e")
+        .withColumn("doc_id", F.xxhash64("conv_id", "turn_idx", "text"))
+    )
+    verdicts = streaming_neardup_verdicts(
+        enriched,
+        id_col="doc_id",
+        watermark=watermark,
+        n_state_buckets=n_state_buckets,
+    )
+    sink = IdempotentKeyedSink(
+        bus_dir,
+        keys=["doc_id"],
+        dedup_mode="epoch_overwrite",
+        track_counts=True,  # per-epoch kept counts = the drop metric
+        # ONE part file per epoch: a single rename is atomic, so the
+        # stage-B tail sees whole epochs or nothing. With multiple
+        # part files a concurrent listing can catch an epoch half
+        # committed, splitting redelivered copies of one turn across
+        # stage-B batches — then a contiguous-at-frontier copy emits
+        # before the earlier-event-time copy arrives and the ts
+        # tie-break never gets to run (caught by the fused text-
+        # equality invariant, r5). The production bus (Kafka topic /
+        # Iceberg table) gets this from its atomic batch commit;
+        # coalesce(1) is the file-bus analog and bounds neither
+        # correctness nor scale — epochs are micro-batch-sized.
+        coalesce_output=1,
+        key_types={"doc_id": "bigint"},
+    )
+    q = (
+        verdicts.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(neardup_filter_foreach_batch(sink.foreach_batch(), "doc_id"))
+        .start()
+    )
+    return q, sink
+
+
+def stage_b_ordered(
+    spark: SparkSession,
+    bus_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    watermark: str = "10 minutes",
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 8,
+):
+    """Start query 2: bus tail → per-conv ordering → final sink.
+    Returns (query, sink)."""
+    src = (
+        spark.readStream.schema(BUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")  # flat view of batch=N dirs
+        .parquet(os.path.join(bus_dir, "data"))
+        .select(*_TURN_COLS)
+    )
+    ordered = ordered_turns_stream(
+        src, watermark=watermark, n_buckets=n_buckets
+    )
+    sink = IdempotentKeyedSink(
+        out_dir,
+        keys=["conv_id", "turn_idx"],
+        dedup_mode="epoch_overwrite",
+        track_counts=False,
+        coalesce_output=4,
+        key_types={"conv_id": "string", "turn_idx": "int"},
+    )
+    q = (
+        ordered.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    return q, sink
+
+
+def drain_fused(qa, qb):
+    """Run both queries to quiescence. Stage A's input is finite, so
+    its processAllAvailable completes the bus; with A stopped every
+    bus file is final (atomic marker-after-data commit) and ONE stage-B
+    processAllAvailable drains the rest. B ran concurrently the whole
+    time — this is the shutdown barrier, not the pipeline."""
+    qa.processAllAvailable()
+    qa.stop()
+    qa.awaitTermination(120)
+    qb.processAllAvailable()
+    qb.stop()
+    qb.awaitTermination(120)
+
+
+def fused_output(spark: SparkSession, out_sink: IdempotentKeyedSink) -> DataFrame:
+    return out_sink.read(spark)

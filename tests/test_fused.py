@@ -1,0 +1,115 @@
+"""Fused vertical (enrich → near-dup → ordering → sink) — the bus-hop
+composition of the two flagship stateful operators (VERDICT r4 #6).
+
+Invariant design: mutated redeliveries share their original's
+(conv_id, turn_idx), so EVERY near-dup drop is of a redelivery —
+originals always survive — and any redelivery the similarity filter
+misses (short text) is caught by the ordering frontier. Hence the
+final output must equal the unique turn set exactly: 0 dup keys,
+0 gaps, per-conv contiguity."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbus_spark.datagen import (
+    TranscriptKnobs,
+    generate_transcripts,
+    write_stream_batches,
+)
+from dbus_spark.pipeline.fused import (
+    drain_fused,
+    stage_a_neardup,
+    stage_b_ordered,
+)
+
+KNOBS = TranscriptKnobs(
+    late_frac=0.0, dup_frac=0.05, mutated_dup_frac=0.05
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = generate_transcripts(n_convs=60, seed=17, knobs=KNOBS)
+    n_delivered = len(pdf)
+    uniq = pdf.drop_duplicates(["conv_id", "turn_idx"])
+    assert n_delivered > len(uniq)  # fixture really carries redeliveries
+    return pdf, uniq
+
+
+def _run(spark, corpus_pdf, tmp_path, n_files, kill_stage=None):
+    in_dir = str(tmp_path / "in")
+    write_stream_batches(corpus_pdf, in_dir, n_files=n_files)
+    bus, out = str(tmp_path / "bus"), str(tmp_path / "out")
+    cka, ckb = str(tmp_path / "cka"), str(tmp_path / "ckb")
+
+    qa, bus_sink = stage_a_neardup(spark, in_dir, bus, cka)
+    qb, out_sink = stage_b_ordered(spark, bus, out, ckb)
+
+    if kill_stage is not None:
+        import time as _t
+
+        # kill mid-run once the chosen stage has ≥2 committed epochs,
+        # then restart both from their checkpoints
+        sink = bus_sink if kill_stage == "a" else out_sink
+        for _ in range(600):
+            if len(os.listdir(sink.meta_path)) >= 2:
+                break
+            _t.sleep(0.2)
+        qa.stop()
+        qb.stop()
+        qa.awaitTermination(60)
+        qb.awaitTermination(60)
+        qa, bus_sink = stage_a_neardup(spark, in_dir, bus, cka)
+        qb, out_sink = stage_b_ordered(spark, bus, out, ckb)
+
+    drain_fused(qa, qb)
+    got = out_sink.read(spark).toPandas()
+    n_bus = bus_sink.read(spark).count()
+    return got, n_bus
+
+
+def _check(got, uniq):
+    assert len(got) == len(uniq), (len(got), len(uniq))
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    per = got.groupby("conv_id")["turn_idx"].agg(["min", "max", "size"])
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["size"] - 1).all()  # 0 gaps
+    # per-turn text equality vs the unique originals (north-rule
+    # invariant): a mutated redelivery must never replace the original
+    key = ["conv_id", "turn_idx"]
+    merged = got.merge(uniq[key + ["text"]], on=key, suffixes=("", "_exp"))
+    assert (merged["text"] == merged["text_exp"]).all()
+
+
+def test_fused_end_to_end(spark, corpus, tmp_path):
+    pdf, uniq = corpus
+    got, n_bus = _run(spark, pdf, tmp_path, n_files=6)
+    _check(got, uniq)
+    # the near-dup stage must drop MOST redeliveries before the bus
+    # (the ordering frontier only backstops the short-text residue)
+    n_redelivered = len(pdf) - len(uniq)
+    dropped_at_a = len(pdf) - n_bus
+    assert dropped_at_a >= 0.7 * n_redelivered, (dropped_at_a, n_redelivered)
+
+
+def test_fused_split_equivalence(spark, corpus, tmp_path):
+    """Different micro-batch split ⇒ identical final output (the
+    per-operator replica contracts must survive composition)."""
+    pdf, uniq = corpus
+    got, _ = _run(spark, pdf, tmp_path, n_files=3)
+    _check(got, uniq)
+
+
+def test_fused_kill_resume_stage_a(spark, corpus, tmp_path):
+    pdf, uniq = corpus
+    got, _ = _run(spark, pdf, tmp_path, n_files=6, kill_stage="a")
+    _check(got, uniq)
+
+
+def test_fused_kill_resume_stage_b(spark, corpus, tmp_path):
+    pdf, uniq = corpus
+    got, _ = _run(spark, pdf, tmp_path, n_files=6, kill_stage="b")
+    _check(got, uniq)
