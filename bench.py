@@ -371,6 +371,82 @@ def run_neardup_ingest_streaming(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_fused_streaming(spark, n_convs: int = 2000) -> dict:
+    """Fused vertical (BENCH.md §15): enrich → streaming near-dup
+    filter → per-conv ordering → exactly-once sink, as the two-query
+    atomic-epoch bus hop (both queries run concurrently). Invariants
+    asserted on the full output: rows == unique turns, 0 dup keys,
+    0 gaps."""
+    import pandas as pd
+
+    from dbus_spark.datagen import (
+        TranscriptKnobs,
+        generate_transcripts,
+        write_stream_batches,
+    )
+    from dbus_spark.pipeline.fused import (
+        drain_fused,
+        stage_a_neardup,
+        stage_b_ordered,
+    )
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_fused_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ssp = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        pdf = generate_transcripts(
+            n_convs=n_convs,
+            seed=42,
+            knobs=TranscriptKnobs(
+                late_frac=0.0, dup_frac=0.05, mutated_dup_frac=0.05
+            ),
+        )
+        uniq = pdf.drop_duplicates(["conv_id", "turn_idx"])
+        write_stream_batches(pdf, os.path.join(work, "in"), n_files=8)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        t0 = time.time()
+        qa, bus_sink = stage_a_neardup(
+            spark,
+            os.path.join(work, "in"),
+            os.path.join(work, "bus"),
+            os.path.join(work, "cka"),
+        )
+        qb, out_sink = stage_b_ordered(
+            spark,
+            os.path.join(work, "bus"),
+            os.path.join(work, "out"),
+            os.path.join(work, "ckb"),
+            n_buckets=32,
+        )
+        drain_fused(qa, qb)
+        wall = time.time() - t0
+        out = out_sink.read(spark)
+        n_out = out.count()
+        n_dup = n_out - out.select("conv_id", "turn_idx").distinct().count()
+        assert n_out == len(uniq) and n_dup == 0, (n_out, len(uniq), n_dup)
+        n_bus = bus_sink.read(spark).count()
+        return {
+            "sec": round(wall, 3),
+            "delivered": len(pdf),
+            "unique": len(uniq),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+            "neardup_absorption": round(
+                (len(pdf) - n_bus) / max(len(pdf) - len(uniq), 1), 3
+            ),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", old_ssp
+        )
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> dict:
     """LLM training-data ingest, streaming form: document stream →
     Arrow-vectorized quality/token/language enrichment → quality
@@ -559,6 +635,10 @@ def main() -> None:
     nd_ingest = min(nruns, key=lambda r: r["sec"])
     nd_ingest["walls_sec"] = [r["sec"] for r in nruns]
     queries["streaming_neardup_ingest"] = nd_ingest["sec"]
+    fruns = [run_fused_streaming(spark) for _ in range(repeats)]
+    fused = min(fruns, key=lambda r: r["sec"])
+    fused["walls_sec"] = [r["sec"] for r in fruns]
+    queries["streaming_fused"] = fused["sec"]
     dryrun = run_dryrun_route(spark)
 
     result = {
@@ -572,6 +652,7 @@ def main() -> None:
         "streaming_ordered": ordered,
         "streaming_doc_ingest": doc_ingest,
         "streaming_neardup_ingest": nd_ingest,
+        "streaming_fused": fused,
         "dryrun_route": dryrun,
         "cpus": cpus,
     }
