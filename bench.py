@@ -296,7 +296,17 @@ def run_neardup_ingest_streaming(
         os.makedirs(in_dir)
         for i, chunk in enumerate(np.array_split(np.arange(len(big)), 8)):
             big.iloc[chunk].to_parquet(
-                os.path.join(in_dir, f"batch-{i:05d}.parquet"), index=False
+                os.path.join(in_dir, f"batch-{i:05d}.parquet"),
+                index=False,
+                # SPLITTABLE input files: pandas' default writes each
+                # 12.5k-row file as ONE row group, and a parquet split
+                # can't cross a row-group boundary — so the whole
+                # map-side signature stage ran as a single task on one
+                # of 32 cores (r4's hidden serialization, found r5:
+                # 3.1k -> 8.1k docs/s from this line alone). Real
+                # crawl shards are multi-row-group; 2k-row groups let
+                # maxPartitionBytes actually split the scan.
+                row_group_size=2000,
             )
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -318,7 +328,7 @@ def run_neardup_ingest_streaming(
         # per-instance spin-up/commit; RocksDB stays the right launch
         # choice only when cap x buckets exceeds executor memory.
         spark.conf.set("spark.sql.shuffle.partitions", "16")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 << 10))
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."

@@ -180,19 +180,33 @@ def generate_transcripts(
 
 
 def write_stream_batches(
-    df: pd.DataFrame, out_dir: str, n_files: int = 8, start_index: int = 0
+    df: pd.DataFrame,
+    out_dir: str,
+    n_files: int = 8,
+    start_index: int = 0,
+    row_group_size: int = 2000,
 ) -> list[str]:
     """Split an ``_arrival``-ordered transcript frame into N parquet
     files (micro-batch fixture for the file-stream source). Returns the
     file paths in arrival order. ``start_index`` offsets the file
     numbering so later calls append to a live drop directory without
-    clobbering files the stream already consumed."""
+    clobbering files the stream already consumed.
+
+    ``row_group_size`` keeps the files SPLITTABLE: pandas' default
+    writes each file as one row group, and a parquet split cannot
+    cross a row-group boundary, so every map-side stage of a
+    1-file-per-trigger stream ran as a single task regardless of
+    ``maxPartitionBytes`` (found r5 — 2.6x on the near-dup ingest
+    from this alone). Real crawl/transcript shards are
+    multi-row-group."""
     os.makedirs(out_dir, exist_ok=True)
     body = df.drop(columns=["_arrival"])
     paths = []
     for i, chunk in enumerate(np.array_split(np.arange(len(body)), n_files)):
         p = os.path.join(out_dir, f"batch-{start_index + i:05d}.parquet")
-        body.iloc[chunk].to_parquet(p, index=False)
+        body.iloc[chunk].to_parquet(
+            p, index=False, row_group_size=row_group_size
+        )
         paths.append(p)
     return paths
 
