@@ -133,6 +133,13 @@ def stage_b_ordered(
         spark.readStream.schema(BUS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")  # flat view of batch=N dirs
+        # a stage-A epoch REPLAY (restart between sink write and offset
+        # commit) deletes the epoch's file and rewrites identical rows
+        # under a fresh name; if the tail listed the old file first, the
+        # read must skip it rather than kill the query — the rewritten
+        # copy is re-read under its new name and the ordering frontier
+        # absorbs the redelivery
+        .option("ignoreMissingFiles", "true")
         .parquet(os.path.join(bus_dir, "data"))
         .select(*_TURN_COLS)
     )

@@ -391,3 +391,69 @@ def test_single_hot_bucket_10k_bounded(spark):
     dup_ids = set(out.loc[out["is_dup"], "doc_id"])
     assert dup_ids == {2 * k + 1 for k in range(50)}
     assert len(out) == n  # all band-0 rows emitted
+
+
+def test_minhash_kernel_matches_slow_reference():
+    """The r5 kernel (polynomial-roll token hashing + segmented min)
+    must equal a per-doc, per-shingle reference implementation built
+    from the same primitives — pins the vectorized index arithmetic
+    (window validity, doc boundaries, sentinel rows) that replaced the
+    r4 shingle-string path."""
+    from dbus_spark.operators.dedup import MINHASH_P, minhash_coeffs
+    from dbus_spark.operators.dedup_stream import _ROLL_B, _JAVA_WS
+
+    import re
+
+    n_hashes, shingle_n = 16, 3
+    texts = pd.Series(
+        [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma",          # exactly one shingle
+            "two words",                  # no shingles -> sentinel
+            "",                           # splits to [''] -> no shingles
+            None,                         # null text -> sentinel
+            "alpha  beta\tgamma  delta",  # multi-whitespace runs
+            "alpha beta gamma delta epsilon",  # dup of row 0
+        ]
+    )
+    ids = pd.Series([10, 11, 12, 13, 14, 15, 16], dtype="int64")
+    got = minhash_sigs_pandas(texts, ids, n_hashes, shingle_n)
+
+    coeffs = minhash_coeffs(n_hashes)
+
+    def slow_sig(text, doc_id):
+        if text is None:
+            return [-doc_id - 1] * n_hashes
+        toks = re.split(_JAVA_WS, text.strip(" "))
+        shingles = [
+            toks[i : i + shingle_n]
+            for i in range(len(toks) - shingle_n + 1)
+        ]
+        if not shingles:
+            return [-doc_id - 1] * n_hashes
+        hs = []
+        for sh in shingles:
+            th = [
+                # int() BEFORE the modulo: uint64 % python-int routes
+                # through float64 in numpy and loses precision
+                int(
+                    pd.util.hash_pandas_object(
+                        pd.Series([t]), index=False
+                    ).iloc[0]
+                )
+                % MINHASH_P
+                for t in sh
+            ]
+            acc = th[0]
+            for x in th[1:]:
+                acc = (acc * _ROLL_B + x) % MINHASH_P
+            hs.append(acc)
+        return [
+            min((h * a + b) % MINHASH_P for h in hs) for a, b in coeffs
+        ]
+
+    for r, (text, doc_id) in enumerate(zip(texts, ids)):
+        assert list(got[r]) == slow_sig(text, int(doc_id)), (r, text)
+    # identical texts -> identical signatures; sentinels unique per id
+    assert list(got[0]) == list(got[6])
+    assert list(got[2]) != list(got[3]) != list(got[4])
