@@ -79,7 +79,13 @@ def stage_a_neardup(
     )
     enriched = (
         src.withColumn("e", doc_enrich_v(F.col("text")))
-        .filter(F.col("e.quality") >= quality_min)
+        # null text enriches to quality NULL; a bare >= filter would
+        # silently drop the turn and leave a PERMANENT gap that stalls
+        # its conversation at stage B until deadline flush. Coalesce to
+        # 0.0 so the default quality_min keeps such turns; a caller
+        # setting quality_min > 0 is consciously choosing gap-making
+        # filtration (ordering then closes the gaps by deadline).
+        .filter(F.coalesce(F.col("e.quality"), F.lit(0.0)) >= quality_min)
         .select("*", "e.quality", "e.n_tokens")
         .drop("e")
         .withColumn("doc_id", F.xxhash64("conv_id", "turn_idx", "text"))

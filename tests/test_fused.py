@@ -33,8 +33,14 @@ KNOBS = TranscriptKnobs(
 @pytest.fixture(scope="module")
 def corpus():
     pdf = generate_transcripts(n_convs=60, seed=17, knobs=KNOBS)
+    # null-text turns must survive the vertical (enrich yields NULL
+    # quality; near-dup gives them sentinel sigs) — not create gaps
+    pdf = pdf.reset_index(drop=True)
+    single = ~pdf.duplicated(["conv_id", "turn_idx"], keep=False)
+    pdf.loc[pdf.index[single][:2], "text"] = None
     n_delivered = len(pdf)
     uniq = pdf.drop_duplicates(["conv_id", "turn_idx"])
+    assert uniq["text"].isna().sum() == 2
     assert n_delivered > len(uniq)  # fixture really carries redeliveries
     return pdf, uniq
 
@@ -81,7 +87,10 @@ def _check(got, uniq):
     # invariant): a mutated redelivery must never replace the original
     key = ["conv_id", "turn_idx"]
     merged = got.merge(uniq[key + ["text"]], on=key, suffixes=("", "_exp"))
-    assert (merged["text"] == merged["text_exp"]).all()
+    same = (merged["text"] == merged["text_exp"]) | (
+        merged["text"].isna() & merged["text_exp"].isna()
+    )
+    assert same.all()
 
 
 def test_fused_end_to_end(spark, corpus, tmp_path):
