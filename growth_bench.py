@@ -127,8 +127,18 @@ def main() -> None:
                 "doc_winnow_pairs": lambda: D.winnow_match_pairs(
                     docs(), min_shared=2, max_df=50
                 ),
+                # threshold 0.8, NOT the ladder's old 0.4 (r5 fix): in
+                # dim 64 a random cross-cluster pair has cos ~
+                # N(0, 1/64), so P(cos >= 0.4) ~ 7e-4 and the TRUE
+                # pair set of the corpus grows ~n^2 (measured:
+                # 9.5k/99k/873k true pairs at 6k/20k/60k vecs) — at
+                # 0.4 the task is quadratic BY DEFINITION and any
+                # operator is output-bound. At 0.8 the background is
+                # ~0 (6.4 sigma) and true density is linear (planted
+                # dups + same-cluster tail), so wall-clock growth
+                # measures the OPERATOR again.
                 "emb_neardup_lsh": lambda: S.neardup_pairs_lsh(
-                    emb(), threshold=0.4, dim=64,
+                    emb(), threshold=0.8, dim=64,
                     planes_per_table=planes,
                 ),
             }.items():
