@@ -1,0 +1,466 @@
+"""CEP pattern matching over keyed, ordered event streams.
+
+The MATCH_RECOGNIZE analog the north rule's "native CEP engine" asks
+for.  The reference's router matches each packet's identity in
+isolation (``pipeline/router.go``, ``plugins/filter/*``) — it has no
+cross-event pattern state, so this whole module is target-scope: the
+capability a transcript databus needs that the reference never built.
+
+Three batch operators plus one streaming twin:
+
+- :func:`classify` — tag each event with a pattern symbol via chained
+  Catalyst ``when`` predicates (codegen'd; no Python).
+- :func:`match_sequence` — fixed-length CONTIGUOUS symbol sequence
+  (``A B C`` with row-adjacency per key), detected with ``lead()``
+  window columns: ONE shuffle on the key, no self-join, no explosion.
+  An optional ``within`` bound makes it a timed pattern.
+- :func:`match_runs` — variable-length runs (``A{min_len,}``) via the
+  gaps-and-islands double-row_number trick — still one shuffle.
+- :func:`funnel` — the non-contiguous ordered funnel (stage i's
+  earliest qualifying event must strictly follow stage i-1's): a
+  cascade of per-key min-ts aggregations joined key-to-key.  Each
+  ``reached`` frame is at most one row per key, so at 100 TB the
+  cascade shuffles key-cardinality-sized frames, never the event log
+  (the log is scanned once per stage, map-side filtered; AQE is free
+  to broadcast the reached frame when it fits).
+- :func:`streaming_match_sequence` — the streaming twin of
+  :func:`match_sequence` over an in-order per-key stream: state per
+  coarsened key bucket carries each key's last ``L-1`` events so
+  matches spanning micro-batch boundaries still fire; idle keys are
+  evicted after an event-time TTL (documented under-match on
+  eviction, mirroring dedup_stream's under-dedup contract — state
+  must be bounded at 10^12 turns, so a key silent for longer than
+  the horizon may miss a pattern that straddles the gap).
+
+Both forms share one vectorized kernel (:func:`_match_block`) so the
+stream == batch-replay equivalence is structural, not coincidental.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def classify(
+    df: DataFrame,
+    symbols: dict[str, Column | str],
+    sym_col: str = "sym",
+    default: str | None = None,
+) -> DataFrame:
+    """Add ``sym_col`` mapping each row to its first matching symbol.
+
+    ``symbols`` is ordered (dict order = precedence); values are
+    Column predicates or SQL strings.  Rows matching nothing get
+    ``default`` (NULL if None) and therefore never participate in a
+    match — NULL compares false against every pattern literal.
+    """
+    expr: Column | None = None
+    for name, pred in symbols.items():
+        cond = F.expr(pred) if isinstance(pred, str) else pred
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None, "classify() needs at least one symbol"
+    return df.withColumn(sym_col, expr.otherwise(F.lit(default)))
+
+
+def match_sequence(
+    df: DataFrame,
+    pattern: list[str],
+    key: str = "conv_id",
+    order: list[str] | str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+    within: str | None = None,
+) -> DataFrame:
+    """Contiguous fixed-length pattern match per key.
+
+    A match is ``L = len(pattern)`` CONSECUTIVE rows (in per-key
+    ``order``) whose symbols equal ``pattern``, optionally with
+    ``ts_last - ts_first <= within`` (an INTERVAL literal body, e.g.
+    ``"1 hour"``).  Output: one row per match —
+    ``key, start_<order0>, end_<order0>, start_ts, end_ts``.
+
+    Plan shape: window ``lead`` columns over (key, order) — a single
+    hash-partition on ``key`` feeding one window node; filters are
+    plain codegen'd comparisons.  No join, no candidate blowup: cost
+    is O(rows) regardless of match density, which is what lets the
+    same query run on 10^12 turns.
+    """
+    assert len(pattern) >= 1
+    order_cols = [order] if isinstance(order, str) else list(order)
+    L = len(pattern)
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    out = df
+    cond = F.col(sym) == pattern[0]
+    for i in range(1, L):
+        out = out.withColumn(f"_s{i}", F.lead(sym, i).over(w))
+        cond = cond & (F.col(f"_s{i}") == pattern[i])
+    end_order = F.lead(order_cols[0], L - 1).over(w) if L > 1 else F.col(order_cols[0])
+    end_ts = F.lead(ts, L - 1).over(w) if L > 1 else F.col(ts)
+    out = out.withColumn("_end_order", end_order).withColumn("_end_ts", end_ts)
+    if within is not None:
+        cond = cond & (
+            F.col("_end_ts") <= F.col(ts) + F.expr(f"INTERVAL {within}")
+        )
+    o0 = order_cols[0]
+    return out.filter(cond).select(
+        F.col(key),
+        F.col(o0).alias(f"start_{o0}"),
+        F.col("_end_order").alias(f"end_{o0}"),
+        F.col(ts).alias("start_ts"),
+        F.col("_end_ts").alias("end_ts"),
+    )
+
+
+def match_runs(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: list[str] | str = "turn_idx",
+    sym: str = "sym",
+    min_len: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Variable-length runs ``A{min_len,}`` of any one symbol per key.
+
+    Gaps-and-islands: ``rn(key) - rn(key, sym)`` is constant exactly
+    within a maximal run of one symbol, so grouping by it splits runs
+    with a second hash-agg after the one window shuffle.  Output:
+    ``key, sym, run_len, start_<id>, end_<id>`` where ``<id>`` is
+    ``id_col`` (default: the first order column) — start/end resolved
+    with ``min_by``/``max_by`` on the run position so ties cannot
+    reorder them.
+    """
+    order_cols = [order] if isinstance(order, str) else list(order)
+    idc = id_col or order_cols[0]
+    w_all = Window.partitionBy(key).orderBy(*order_cols)
+    w_sym = Window.partitionBy(key, sym).orderBy(*order_cols)
+    islands = df.select(
+        key,
+        sym,
+        idc,
+        (F.row_number().over(w_all)).alias("_rn1"),
+        (F.row_number().over(w_all) - F.row_number().over(w_sym)).alias(
+            "_grp"
+        ),
+    )
+    return (
+        islands.groupBy(key, sym, "_grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min_by(idc, F.col("_rn1")).alias(f"start_{idc}"),
+            F.max_by(idc, F.col("_rn1")).alias(f"end_{idc}"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .drop("_grp")
+    )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column | str]],
+    key: str = "conv_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered (non-contiguous) funnel conversion counts.
+
+    A key reaches stage ``i`` at the EARLIEST event satisfying stage
+    i's predicate that is strictly later than the key's stage ``i-1``
+    time.  Output: ``stage_idx, stage, n_keys`` (keys reaching each
+    stage), one row per stage, ordered.
+
+    The event log is scanned once per stage with the stage predicate
+    pushed into the scan; everything that shuffles afterwards is one
+    row per surviving key.  L is small (a funnel has a handful of
+    stages), so this is L cheap passes rather than one
+    collect_list-per-key fold whose per-key arrays would be unbounded
+    on a 10^12-turn log.
+    """
+    assert len(stages) >= 1
+    counts: list[tuple[int, str, int]] = []
+    cached: list[DataFrame] = []
+    reached: DataFrame | None = None
+    for i, (name, pred) in enumerate(stages):
+        cond = F.expr(pred) if isinstance(pred, str) else pred
+        cur = df.filter(cond).select(key, ts)
+        if reached is not None:
+            cur = cur.join(reached, key).filter(
+                F.col(ts) > F.col("_reached_ts")
+            ).select(key, ts)
+        # persist each frontier: stage i+1 reuses it instead of
+        # re-deriving the whole cascade (each is <= one row per key)
+        reached = cur.groupBy(key).agg(F.min(ts).alias("_reached_ts")).persist()
+        cached.append(reached)
+        counts.append((i, name, reached.count()))
+    spark = df.sparkSession
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(
+        counts, schema="stage_idx int, stage string, n_keys bigint"
+    )
+
+
+# --- streaming twin ----------------------------------------------------
+#
+# State: one blob per coarsened key bucket holding, for every key seen
+# within the TTL horizon, the tail of its stream — the last (L-1)
+# (sym, order, ts) triples — plus its last-activity deadline.  Tail
+# size is bounded by the pattern length, so a bucket blob is
+# O(keys_in_bucket * (L-1)); with the TTL sweep that is the whole
+# state story (sizing mirrors ordering.py's bucket math).
+#
+# Contract: per-key IN-ORDER, exactly-once input — i.e. compose after
+# ordered_turns_stream (the fused-pipeline bus hop is the composition
+# mechanism; Spark cannot chain two applyInPandasWithState stages in
+# one query, measured and documented in pipeline/fused.py).  Exact
+# duplicate (key, order) rows are dropped defensively.
+
+_CEP_FMT_V1 = b"\x01"
+
+_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("start_order", T.LongType()),
+        T.StructField("end_order", T.LongType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+    ]
+)
+
+_CEP_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType())])
+
+
+def _match_block(
+    keys: np.ndarray,
+    syms: np.ndarray,
+    orders: np.ndarray,
+    ts_us: np.ndarray,
+    pattern: list[str],
+    within_us: int | None,
+) -> tuple[np.ndarray, ...]:
+    """Vectorized contiguous-pattern scan over arrays sorted by
+    (key, order).  Row-adjacency here equals ``lead()`` adjacency in
+    the batch form as long as the input is the key's full in-order
+    stream — which the state tail guarantees across batch boundaries.
+    Returns (key, start_order, end_order, start_ts, end_ts) arrays.
+    """
+    n, L = len(keys), len(pattern)
+    if n < L:
+        z = np.array([], dtype=object)
+        zi = np.array([], dtype=np.int64)
+        return z, zi, zi, zi.astype("datetime64[us]"), zi.astype("datetime64[us]")
+    m = n - L + 1
+    ok = syms[:m] == pattern[0]
+    for i in range(1, L):
+        ok &= syms[i : m + i] == pattern[i]
+    ok &= keys[:m] == keys[L - 1 :]
+    if within_us is not None:
+        ok &= (ts_us[L - 1 :] - ts_us[:m]) <= within_us
+    idx = np.nonzero(ok)[0]
+    return (
+        keys[idx],
+        orders[idx],
+        orders[idx + L - 1],
+        ts_us[idx].astype("datetime64[us]"),
+        ts_us[idx + L - 1].astype("datetime64[us]"),
+    )
+
+
+def _cep_load(state) -> pd.DataFrame:
+    (blob,) = state.get
+    blob = bytes(blob)
+    assert blob[:1] == _CEP_FMT_V1
+    cols = pickle.loads(blob[1:])
+    return pd.DataFrame(cols)
+
+
+def _cep_save(state, tail: pd.DataFrame) -> None:
+    payload = {c: tail[c].to_numpy() for c in tail.columns}
+    state.update((_CEP_FMT_V1 + pickle.dumps(payload, protocol=5),))
+
+
+_TAIL_COLS = ["key", "sym", "order", "ts_us", "deadline"]
+
+
+def _make_cep_fn(pattern: list[str], within_us: int | None, ttl_ms: int):
+    L = len(pattern)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+
+        if state.hasTimedOut:
+            tail = _cep_load(state)
+            tail = tail[tail["deadline"].to_numpy() > wm]
+            if len(tail):
+                _cep_save(state, tail)
+                state.setTimeoutTimestamp(
+                    max(int(tail["deadline"].min()), wm + 1)
+                )
+            else:
+                state.remove()
+            return
+
+        tail = (
+            _cep_load(state)
+            if state.exists
+            else pd.DataFrame(
+                {
+                    "key": np.array([], object),
+                    "sym": np.array([], object),
+                    "order": np.array([], np.int64),
+                    "ts_us": np.array([], np.int64),
+                    "deadline": np.array([], np.int64),
+                }
+            )
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            new = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True, copy=False)
+            )
+            ts_us = new["ts"].to_numpy("datetime64[us]").view(np.int64)
+            # deadline is EVENT-time based (row ts + ttl), not
+            # watermark-based: the watermark starts at 0 and jumps to
+            # epoch-scale after the first batch, so wm-anchored
+            # deadlines would evict all state at batch 2.  Row-wise
+            # event-time deadlines also give the clean contract: a
+            # pattern is only ever missed if its internal spacing
+            # exceeds ttl — so with within <= ttl no within-qualifying
+            # match is ever lost to eviction.
+            new = pd.DataFrame(
+                {
+                    "key": new["key"].to_numpy(object),
+                    "sym": new["sym"].to_numpy(object),
+                    "order": new["order"].to_numpy(np.int64),
+                    "ts_us": ts_us,
+                    "deadline": ts_us // 1000 + np.int64(ttl_ms),
+                }
+            )
+            touched = pd.unique(new["key"])
+            on_t = tail["key"].isin(touched).to_numpy()
+            allr = (
+                pd.concat([tail[on_t], new], ignore_index=True, copy=False)
+                if on_t.any()
+                else new
+            )
+            # in-order input contract: tail rows already precede new
+            # rows in order; the sort is the cross-chunk merge plus a
+            # defensive restore, and drop_duplicates the redelivery
+            # guard (first = state copy wins, keeping emitted history
+            # stable)
+            allr = allr.sort_values(
+                ["key", "order"], kind="stable"
+            ).drop_duplicates(["key", "order"])
+            k, so, eo, sts, ets = _match_block(
+                allr["key"].to_numpy(object),
+                allr["sym"].to_numpy(object),
+                allr["order"].to_numpy(np.int64),
+                allr["ts_us"].to_numpy(np.int64),
+                pattern,
+                within_us,
+            )
+            # only matches ENDING in this batch's rows are new; a match
+            # wholly inside the carried tail already fired last batch
+            prev_max = (
+                tail[on_t].groupby("key")["order"].max()
+                if on_t.any()
+                else pd.Series(dtype=np.int64)
+            )
+            if len(k) and len(prev_max):
+                thresh = prev_max.reindex(k, fill_value=np.int64(-(2**62)))
+                fresh = eo > thresh.to_numpy(np.int64)
+                k, so, eo, sts, ets = k[fresh], so[fresh], eo[fresh], sts[fresh], ets[fresh]
+            # new tail: last L-1 rows per key (vectorized tail-take),
+            # refreshed deadline for touched keys
+            g = allr.groupby("key", sort=False).cumcount(ascending=False)
+            keep_tail = allr[g.to_numpy() < L - 1]
+            tail = pd.concat(
+                [tail[~on_t], keep_tail], ignore_index=True, copy=False
+            )
+            if len(k):
+                yield pd.DataFrame(
+                    {
+                        "key": k,
+                        "start_order": so,
+                        "end_order": eo,
+                        "start_ts": sts,
+                        "end_ts": ets,
+                    }
+                )
+        tail = tail[tail["deadline"].to_numpy() > wm]
+        if len(tail):
+            _cep_save(state, tail)
+            state.setTimeoutTimestamp(max(int(tail["deadline"].min()), wm + 1))
+        else:
+            state.remove()
+
+    return fn
+
+
+def streaming_match_sequence(
+    df: DataFrame,
+    pattern: list[str],
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+    within: str | None = None,
+    watermark: str = "10 minutes",
+    ttl_ms: int = 600_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming contiguous-pattern detector (twin of
+    :func:`match_sequence`; same kernel, same output columns modulo
+    generic names ``key, start_order, end_order, start_ts, end_ts``).
+
+    Input contract: per-key in-order, exactly-once rows (compose after
+    ``ordered_turns_stream`` via the fused-pipeline bus hop).  State
+    per key is its last ``len(pattern)-1`` events; keys idle past
+    ``ttl_ms`` (event-time) are evicted, so a pattern straddling a
+    longer silence is missed — the bounded-state trade every 10^12-turn
+    deployment has to pick, stated rather than hidden.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    within_us = None
+    if within is not None:
+        # reuse Spark's own interval parser so "1 hour"/"30 minutes"
+        # literals mean exactly what the batch twin's filter means
+        within_us = int(
+            df.sparkSession.createDataFrame([(0,)], "x int")
+            .select(
+                F.expr(
+                    f"unix_micros(timestamp'2000-01-01' + INTERVAL {within})"
+                    " - unix_micros(timestamp'2000-01-01')"
+                ).alias("us")
+            )
+            .head()[0]
+        )
+    src = df.select(
+        F.col(key).alias("key"),
+        F.col(sym).alias("sym"),
+        F.col(order).cast("long").alias("order"),
+        F.col(ts).alias("ts"),
+    ).withColumn(
+        "_bkt", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            _make_cep_fn(list(pattern), within_us, ttl_ms),
+            outputStructType=_MATCH_SCHEMA,
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,346 @@
+"""CEP pattern matching: batch operators vs pandas oracles, and the
+streaming twin's stream == batch contract for any micro-batch split
+(state tail carries cross-batch matches; duplicates are dropped)."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbus_spark.operators.cep import (
+    classify,
+    funnel,
+    match_runs,
+    match_sequence,
+    streaming_match_sequence,
+)
+
+PATTERN = ["user", "assistant", "tool"]
+
+
+# --- fixtures ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def turns_pd():
+    """In-order per-conv turn stream with a seeded role mix rich in
+    short patterns; ts strictly increasing within each conv and unique
+    globally (so a global-ts file split preserves per-key order)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    n_convs, n_turns = 40, 30
+    for c in range(n_convs):
+        tsec = 0
+        for t in range(n_turns):
+            # ~8% of inter-turn gaps are 2 h (vs 60 s) so a `within`
+            # bound in the tens-of-minutes range actually bites
+            tsec += 7200 if rng.random() < 0.08 else 60
+            rows.append(
+                {
+                    "conv_id": f"conv{c:04d}",
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][
+                        int(rng.integers(0, 3))
+                    ],
+                    "ts": base
+                    + dt.timedelta(seconds=tsec, milliseconds=c),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def turns_df(spark, turns_pd):
+    return spark.createDataFrame(turns_pd).cache()
+
+
+def _pd_matches(pdf: pd.DataFrame, pattern, within=None) -> set:
+    """Row-at-a-time reference: contiguous window scan per conv."""
+    L = len(pattern)
+    out = set()
+    for cid, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        syms = g["role"].tolist()
+        idxs = g["turn_idx"].tolist()
+        tss = g["ts"].tolist()
+        for i in range(len(syms) - L + 1):
+            if syms[i : i + L] == pattern:
+                if within is not None and tss[i + L - 1] - tss[i] > within:
+                    continue
+                out.add((cid, idxs[i], idxs[i + L - 1]))
+    return out
+
+
+# --- batch -------------------------------------------------------------
+
+
+def test_classify_precedence_and_default(spark):
+    df = spark.createDataFrame(
+        [(1, "user"), (2, "assistant"), (3, "weird")], "id int, role string"
+    )
+    out = classify(
+        df,
+        {"U": "role = 'user'", "ANY": "role in ('user','assistant')"},
+    )
+    got = {r["id"]: r["sym"] for r in out.collect()}
+    # dict order = precedence: 'user' rows take U, not ANY
+    assert got == {1: "U", 2: "ANY", 3: None}
+
+
+def test_match_sequence_vs_pandas(turns_df, turns_pd):
+    got = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_sequence(
+            turns_df, PATTERN, key="conv_id", order="turn_idx", sym="role"
+        ).collect()
+    }
+    assert got == _pd_matches(turns_pd, PATTERN)
+    assert len(got) > 20  # fixture must actually contain patterns
+
+
+def test_match_sequence_within(spark):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", base),
+        ("c1", 1, "assistant", base + dt.timedelta(minutes=5)),
+        ("c1", 2, "tool", base + dt.timedelta(minutes=20)),
+        ("c2", 0, "user", base),
+        ("c2", 1, "assistant", base + dt.timedelta(minutes=5)),
+        ("c2", 2, "tool", base + dt.timedelta(hours=3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, ts timestamp"
+    )
+    got = match_sequence(
+        df, PATTERN, key="conv_id", order="turn_idx", sym="role",
+        within="30 minutes",
+    ).collect()
+    assert [(r["conv_id"]) for r in got] == ["c1"]
+
+
+def test_match_runs_vs_pandas(turns_df, turns_pd):
+    got = {
+        (r["conv_id"], r["role"], r["run_len"], r["start_turn_idx"])
+        for r in match_runs(
+            turns_df, key="conv_id", order="turn_idx", sym="role",
+            min_len=3,
+        ).collect()
+    }
+    exp = set()
+    for cid, g in turns_pd.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        syms, idxs = g["role"].tolist(), g["turn_idx"].tolist()
+        i = 0
+        while i < len(syms):
+            j = i
+            while j < len(syms) and syms[j] == syms[i]:
+                j += 1
+            if j - i >= 3:
+                exp.add((cid, syms[i], j - i, idxs[i]))
+            i = j
+    assert got == exp
+    assert len(got) > 5
+
+
+def test_funnel_ordered_cascade(spark):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # k1 completes in order; k2 has the purchase BEFORE its click
+        # (stage-2 time), so it must not count as stage 3
+        ("k1", "view", base),
+        ("k1", "click", base + dt.timedelta(minutes=1)),
+        ("k1", "purchase", base + dt.timedelta(minutes=2)),
+        ("k2", "view", base),
+        ("k2", "purchase", base + dt.timedelta(minutes=1)),
+        ("k2", "click", base + dt.timedelta(minutes=2)),
+        ("k3", "click", base),
+    ]
+    df = spark.createDataFrame(rows, "uid string, et string, ts timestamp")
+    out = funnel(
+        df,
+        [
+            ("view", "et = 'view'"),
+            ("click", "et = 'click'"),
+            ("purchase", "et = 'purchase'"),
+        ],
+        key="uid",
+    )
+    got = {(r["stage_idx"], r["stage"]): r["n_keys"] for r in out.collect()}
+    assert got == {(0, "view"): 2, (1, "click"): 2, (2, "purchase"): 1}
+
+
+# --- streaming ---------------------------------------------------------
+
+
+def _run_cep_stream(spark, turns_pd, tmp_path, n_files, within=None):
+    in_dir = tmp_path / f"in_{n_files}"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), n_files)
+    for i, idx in enumerate(parts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    # ttl far beyond the fixture's event-time span: these tests pin the
+    # stream == batch contract, not the (documented) eviction trade
+    v = streaming_match_sequence(
+        src, PATTERN, key="conv_id", order="turn_idx", sym="role",
+        within=within, n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{n_files}"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    return {
+        (r.key, r.start_order, r.end_order)
+        for r in out.itertuples(index=False)
+    }
+
+
+def test_stream_matches_batch_single(spark, turns_pd, tmp_path):
+    exp = _pd_matches(turns_pd, PATTERN)
+    assert _run_cep_stream(spark, turns_pd, tmp_path, 1) == exp
+
+
+def test_stream_matches_batch_split(spark, turns_pd, tmp_path):
+    """Matches spanning micro-batch boundaries must still fire (state
+    tail), and none may fire twice (end-order threshold)."""
+    exp = _pd_matches(turns_pd, PATTERN)
+    assert _run_cep_stream(spark, turns_pd, tmp_path, 7) == exp
+
+
+def test_stream_within_matches_batch(spark, turns_pd, tmp_path):
+    within = pd.Timedelta(minutes=90)
+    exp = _pd_matches(turns_pd, PATTERN, within=within)
+    got = _run_cep_stream(
+        spark, turns_pd, tmp_path, 5, within="90 minutes"
+    )
+    assert got == exp
+    # the bound must bite on this fixture or the test proves nothing
+    assert got != _pd_matches(turns_pd, PATTERN)
+
+
+def test_stream_dedups_redelivered_rows(spark, turns_pd, tmp_path):
+    """An exact (key, order) redelivery in a later file must not
+    create new matches: first copy (already in state) wins."""
+    dup = turns_pd.sort_values("ts").head(len(turns_pd) // 2)
+    exp = _pd_matches(turns_pd, PATTERN)
+    in_dir = tmp_path / "in_dup"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    ordered.to_parquet(in_dir / "b-0000.parquet", index=False)
+    dup.tail(200).to_parquet(in_dir / "b-0001.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_sequence(
+        src, PATTERN, key="conv_id", order="turn_idx", sym="role",
+        n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dup"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert (
+        {(r.key, r.start_order, r.end_order) for r in out.itertuples(index=False)}
+        == exp
+    )
+    assert not out.duplicated(["key", "start_order"]).any()
+
+
+def test_stream_kill_resume(spark, turns_pd, tmp_path):
+    """Restart from checkpoint mid-stream: the state tail must carry
+    over so the union of outputs equals the uninterrupted run, with no
+    duplicate matches."""
+    in_dir = tmp_path / "in_kr"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), 6)
+    # phase 1: first 3 files exist
+    for i, idx in enumerate(parts[:3]):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        v = streaming_match_sequence(
+            src, PATTERN, key="conv_id", order="turn_idx", sym="role",
+            n_buckets=8, ttl_ms=86_400_000,
+        )
+        return (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_kr"))
+            .foreachBatch(collect)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    for i, idx in enumerate(parts[3:], start=3):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    matches = {
+        (r.key, r.start_order, r.end_order)
+        for r in out.itertuples(index=False)
+    }
+    assert matches == _pd_matches(turns_pd, PATTERN)
+    assert not out.duplicated(["key", "start_order", "end_order"]).any()
