@@ -307,6 +307,57 @@ def _ordered_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP contiguous pattern: view -> click -> purchase as three
+    CONSECUTIVE events of one user (per-user order = event_id, which
+    is globally ts-ordered in this corpus), completing within 24 hours
+    (the bound excludes ~30% of raw triples at sf0.01 — it must bite,
+    not be decorative).  lead()-based: one shuffle on user_id, no
+    self-join (operators/cep.py::match_sequence)."""
+    from dbus_spark.operators.cep import match_sequence
+
+    events = load_table(spark, sf_dir, "events")
+    return match_sequence(
+        events,
+        ["view", "click", "purchase"],
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+        within="24 hours",
+    )
+
+
+def _cep_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP variable-length runs: >=3 consecutive same-type events per
+    user (gaps-and-islands, operators/cep.py::match_runs)."""
+    from dbus_spark.operators.cep import match_runs
+
+    events = load_table(spark, sf_dir, "events")
+    return match_runs(
+        events, key="user_id", order="event_id", sym="event_type",
+        min_len=3,
+    )
+
+
+def _cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (non-contiguous) funnel: users reaching
+    view -> click -> purchase where each stage's earliest qualifying
+    event strictly follows the previous stage's time
+    (operators/cep.py::funnel)."""
+    from dbus_spark.operators.cep import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events,
+        [
+            ("view", "event_type = 'view'"),
+            ("click", "event_type = 'click'"),
+            ("purchase", "event_type = 'purchase'"),
+        ],
+        key="user_id",
+    )
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -754,13 +805,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "multimodal_resize": _multimodal_resize,
+        # --- new round 5: CEP pattern matching (must be driver-checked)
+        "cep_sequence": _cep_sequence,
+        "cep_runs": _cep_runs,
+        "cep_funnel": _cep_funnel,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
         "tumbling_window": _tumbling_window,
         "tumbling_window_salted": _tumbling_window_salted,
-        "sliding_window": _sliding_window,
-        "session_window_user": _session_window_user,
         "session_roles": _session_roles,
         "interval_join": _interval_join,
         "asof_attribution": _asof_attribution,
@@ -768,7 +821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_enrich": _dim_enrich,
         "ordered_seq": _ordered_seq,
         "event_quantiles": _event_quantiles,
-        "tpch_q3_lite": _tpch_q3_lite,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
@@ -802,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation tail: long-stable, code-unchanged since their green
         # --- rows in CORRECTNESS_r01..r04; sat out of the driver's 50-row
         # --- window this round (still covered by tests/test_entry_oracle.py).
+        "sliding_window": _sliding_window,
+        "session_window_user": _session_window_user,
+        "tpch_q3_lite": _tpch_q3_lite,
         "topk_per_user": _topk_per_user,
         "event_json": _event_json,
         "sales_rollup": _sales_rollup,
@@ -1172,6 +1227,52 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "COUNT(*) AS n_turns, "
             "string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "cep_sequence": (
+            "WITH o AS ("
+            "  SELECT user_id, event_id, event_type, ts, "
+            "    lead(event_type, 1) OVER w AS s1, "
+            "    lead(event_type, 2) OVER w AS s2, "
+            "    lead(event_id, 2) OVER w AS e_id, "
+            "    lead(ts, 2) OVER w AS e_ts "
+            "  FROM events "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+            ") SELECT user_id, event_id AS start_event_id, "
+            "e_id AS end_event_id, ts AS start_ts, e_ts AS end_ts "
+            "FROM o WHERE event_type = 'view' AND s1 = 'click' "
+            "AND s2 = 'purchase' AND e_ts <= ts + INTERVAL 24 HOUR"
+        ),
+        "cep_runs": (
+            "WITH r AS ("
+            "  SELECT user_id, event_type, event_id, "
+            "    row_number() OVER (PARTITION BY user_id "
+            "      ORDER BY event_id) AS rn1, "
+            "    row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY event_id) AS rn2 "
+            "  FROM events"
+            ") SELECT user_id, event_type, COUNT(*) AS run_len, "
+            "arg_min(event_id, rn1) AS start_event_id, "
+            "arg_max(event_id, rn1) AS end_event_id "
+            "FROM r GROUP BY user_id, event_type, rn1 - rn2 "
+            "HAVING COUNT(*) >= 3"
+        ),
+        "cep_funnel": (
+            "WITH s0 AS ("
+            "  SELECT user_id, MIN(ts) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY 1"
+            "), s1 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "  JOIN s0 USING (user_id) "
+            "  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1"
+            "), s2 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "  JOIN s1 USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1"
+            ") SELECT * FROM (VALUES "
+            "  (0, 'view', (SELECT COUNT(*) FROM s0)), "
+            "  (1, 'click', (SELECT COUNT(*) FROM s1)), "
+            "  (2, 'purchase', (SELECT COUNT(*) FROM s2))"
+            ") t(stage_idx, stage, n_keys)"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

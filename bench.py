@@ -34,6 +34,9 @@ BATCH_QUERIES = [
     "cdc_dispatch",
     "dim_enrich",
     "ordered_seq",
+    "cep_sequence",
+    "cep_runs",
+    "cep_funnel",
     "topk_per_user",
     "event_json",
     "event_quantiles",
@@ -249,6 +252,97 @@ def run_ordered_streaming(spark, n_convs: int) -> dict:
         return {
             "sec": round(wall, 3),
             "rows": len(pdf),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_cep_streaming(spark, n_convs: int) -> dict:
+    """Streaming CEP (round 5): in-order turn stream →
+    streaming_match_sequence (user → assistant → tool, per-key L−1
+    tail state) → noop-drained sink.  Input is the transcript corpus
+    deduped + globally ts-sorted — the shape the ordering stage emits,
+    which is this operator's documented composition point.  In-run
+    invariant: the stream's match set must equal the batch twin's on
+    the same frame (count + exact set)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.datagen import generate_transcripts
+    from dbus_spark.operators.cep import (
+        match_sequence,
+        streaming_match_sequence,
+    )
+
+    PATTERN = ["user", "assistant", "tool"]
+    work = tempfile.mkdtemp(prefix="dbus_bench_cep_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        pdf = (
+            pdf.sort_values(["conv_id", "turn_idx", "ts"])
+            .drop_duplicates(["conv_id", "turn_idx"])
+            .sort_values("ts")
+            .reset_index(drop=True)[["conv_id", "turn_idx", "role", "ts"]]
+        )
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+            pdf.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"), index=False
+            )
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_match_sequence(
+            src, PATTERN, key="conv_id", order="turn_idx", sym="role",
+            n_buckets=32, ttl_ms=86_400_000,
+        )
+        got: list = []
+
+        def drain(batch_df, _epoch):
+            got.append(
+                batch_df.select("key", "start_order", "end_order").toPandas()
+            )
+
+        t0 = time.time()
+        q = (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(drain)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        out = pd.concat(got, ignore_index=True)
+        stream_set = {
+            (r.key, r.start_order, r.end_order)
+            for r in out.itertuples(index=False)
+        }
+        batch_set = {
+            (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+            for r in match_sequence(
+                spark.createDataFrame(pdf),
+                PATTERN,
+                key="conv_id",
+                order="turn_idx",
+                sym="role",
+            ).collect()
+        }
+        assert stream_set == batch_set, (
+            f"CEP stream/batch divergence: {len(stream_set)} vs "
+            f"{len(batch_set)} matches"
+        )
+        return {
+            "sec": round(wall, 3),
+            "rows": len(pdf),
+            "matches": len(stream_set),
             "turns_per_sec": round(len(pdf) / wall, 1),
         }
     finally:
@@ -645,6 +739,12 @@ def main() -> None:
     nd_ingest = min(nruns, key=lambda r: r["sec"])
     nd_ingest["walls_sec"] = [r["sec"] for r in nruns]
     queries["streaming_neardup_ingest"] = nd_ingest["sec"]
+    cruns = [
+        run_cep_streaming(spark, STREAM_TURNS_CONVS) for _ in range(repeats)
+    ]
+    cep = min(cruns, key=lambda r: r["sec"])
+    cep["walls_sec"] = [r["sec"] for r in cruns]
+    queries["streaming_cep"] = cep["sec"]
     fruns = [run_fused_streaming(spark) for _ in range(repeats)]
     fused = min(fruns, key=lambda r: r["sec"])
     fused["walls_sec"] = [r["sec"] for r in fruns]
@@ -662,6 +762,7 @@ def main() -> None:
         "streaming_ordered": ordered,
         "streaming_doc_ingest": doc_ingest,
         "streaming_neardup_ingest": nd_ingest,
+        "streaming_cep": cep,
         "streaming_fused": fused,
         "dryrun_route": dryrun,
         "cpus": cpus,
