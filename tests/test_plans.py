@@ -323,3 +323,28 @@ def test_tfidf_single_corpus_scan(spark):
     # relation's build plan (executed once, already materialized)
     phys = plan.split("InMemoryRelation")[0]
     assert "Scan parquet" not in phys and "FileScan" not in phys
+
+
+def test_cep_sequence_single_shuffle_no_join(spark):
+    """match_sequence must be one hash-partition on the key feeding a
+    single Window node — no self-join, no candidate explosion: cost
+    O(rows) regardless of match density (the property that lets the
+    same pattern query run on 10^12 turns)."""
+    q = entrymod.queries()["cep_sequence"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the pattern predicates are plain codegen'd comparisons
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cep_runs_reuses_partitioning(spark):
+    """Gaps-and-islands needs two window functions and a hash-agg, but
+    they are all keyed by user_id (or a superset): ONE exchange total —
+    the second Window and the aggregation reuse the first shuffle's
+    partitioning (only a re-sort between them)."""
+    q = entrymod.queries()["cep_runs"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Exchange") <= 2  # node header + detail line
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "partial_count" in plan  # map-side combine before the agg
