@@ -22,6 +22,12 @@ bus → Output are separate goroutine stages, not one call stack):
 - **stage B** (query 2): file-stream TAIL of the bus directory →
   per-conversation ordering/dedup state → idempotent sink keyed
   (conv_id, turn_idx).
+- **stage C** (query 3, optional): tail of stage B's ordered sink →
+  streaming CEP pattern match (``operators/cep.py``) → match sink
+  keyed (key, start_order).  Stage B's contiguous-frontier output IS
+  the CEP operator's in-order input contract, making this the third
+  stateful stage on one bus without ever chaining two
+  ``applyInPandasWithState`` operators in a query.
 
 Delivery contract across the hop: stage A's sink is exactly-once per
 doc_id, but a stage-A epoch REPLAY rewrites its epoch directory with
@@ -169,7 +175,66 @@ def stage_b_ordered(
     return q, sink
 
 
-def drain_fused(qa, qb):
+def stage_c_cep(
+    spark: SparkSession,
+    ordered_out_dir: str,
+    match_dir: str,
+    ckpt_dir: str,
+    pattern: tuple[str, ...] = ("user", "assistant", "tool"),
+    watermark: str = "10 minutes",
+    n_buckets: int = 16,
+    ttl_ms: int = 86_400_000,
+    max_files_per_trigger: int = 8,
+):
+    """Start query 3: ordered-sink tail → streaming CEP → match sink.
+
+    The CEP operator's in-order input contract is exactly what stage B
+    manufactures: the ordering frontier emits each conversation's
+    turns in contiguous ``turn_idx`` order, so tailing its sink is the
+    composition point the operator docstring names.  A stage-B epoch
+    replay redelivers rows the tail already saw; the CEP state's
+    (key, order) dedup plus the end-order freshness filter make that
+    harmless (same reasoning as stage B absorbing stage A replays —
+    at-least-once bus + idempotent consumer), and the match sink is
+    keyed (key, start_order) as the final backstop.  Returns
+    (query, sink)."""
+    from dbus_spark.operators.cep import streaming_match_sequence
+
+    src = (
+        spark.readStream.schema(OUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true")
+        .parquet(os.path.join(ordered_out_dir, "data"))
+    )
+    matches = streaming_match_sequence(
+        src,
+        list(pattern),
+        key="conv_id",
+        order="turn_idx",
+        sym="role",
+        watermark=watermark,
+        ttl_ms=ttl_ms,
+        n_buckets=n_buckets,
+    )
+    sink = IdempotentKeyedSink(
+        match_dir,
+        keys=["key", "start_order"],
+        dedup_mode="epoch_overwrite",
+        track_counts=False,
+        coalesce_output=4,
+        key_types={"key": "string", "start_order": "bigint"},
+    )
+    q = (
+        matches.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    return q, sink
+
+
+def drain_fused(qa, qb, qc=None):
     """Run both queries to quiescence. Stage A's input is finite, so
     its processAllAvailable completes the bus; with A stopped every
     bus file is final (atomic marker-after-data commit) and ONE stage-B
@@ -181,6 +246,10 @@ def drain_fused(qa, qb):
     qb.processAllAvailable()
     qb.stop()
     qb.awaitTermination(120)
+    if qc is not None:
+        qc.processAllAvailable()
+        qc.stop()
+        qc.awaitTermination(120)
 
 
 def fused_output(spark: SparkSession, out_sink: IdempotentKeyedSink) -> DataFrame:

@@ -122,3 +122,85 @@ def test_fused_kill_resume_stage_b(spark, corpus, tmp_path):
     pdf, uniq = corpus
     got, _ = _run(spark, pdf, tmp_path, n_files=6, kill_stage="b")
     _check(got, uniq)
+
+
+def _run3(spark, corpus_pdf, tmp_path, n_files, kill_c=False):
+    """Three-stage run: enrich → near-dup → ordering → CEP matches."""
+    from dbus_spark.pipeline.fused import stage_c_cep
+
+    in_dir = str(tmp_path / "in")
+    write_stream_batches(corpus_pdf, in_dir, n_files=n_files)
+    bus, out, mat = (
+        str(tmp_path / "bus"), str(tmp_path / "out"), str(tmp_path / "mat")
+    )
+    cka, ckb, ckc = (
+        str(tmp_path / "cka"), str(tmp_path / "ckb"), str(tmp_path / "ckc")
+    )
+    qa, bus_sink = stage_a_neardup(spark, in_dir, bus, cka)
+    qb, out_sink = stage_b_ordered(spark, bus, out, ckb)
+    qc, mat_sink = stage_c_cep(spark, out, mat, ckc)
+
+    if kill_c:
+        import time as _t
+
+        for _ in range(600):
+            if len(os.listdir(mat_sink.meta_path)) >= 1:
+                break
+            _t.sleep(0.2)
+        qc.stop()
+        qc.awaitTermination(60)
+        qc, mat_sink = stage_c_cep(spark, out, mat, ckc)
+
+    drain_fused(qa, qb, qc)
+    got = out_sink.read(spark).toPandas()
+    matches = mat_sink.read(spark).toPandas()
+    return got, matches
+
+
+def test_fused_three_stage_cep(spark, corpus, tmp_path):
+    """Stage C consumes stage B's contiguous-frontier output; its
+    match set must equal the batch twin's over the final ordered
+    turns — the full three-stateful-stage composition, exactly once."""
+    from dbus_spark.operators.cep import match_sequence
+
+    pdf, uniq = corpus
+    got, matches = _run3(spark, pdf, tmp_path, n_files=6)
+    _check(got, uniq)
+    exp = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_sequence(
+            spark.createDataFrame(got[["conv_id", "turn_idx", "role", "ts"]]),
+            ["user", "assistant", "tool"],
+            key="conv_id",
+            order="turn_idx",
+            sym="role",
+        ).collect()
+    }
+    assert len(exp) > 10  # fixture must actually contain the pattern
+    assert {
+        (r.key, r.start_order, r.end_order)
+        for r in matches.itertuples(index=False)
+    } == exp
+    assert not matches.duplicated(["key", "start_order"]).any()
+
+
+def test_fused_three_stage_kill_resume_c(spark, corpus, tmp_path):
+    from dbus_spark.operators.cep import match_sequence
+
+    pdf, uniq = corpus
+    got, matches = _run3(spark, pdf, tmp_path, n_files=6, kill_c=True)
+    _check(got, uniq)
+    exp = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_sequence(
+            spark.createDataFrame(got[["conv_id", "turn_idx", "role", "ts"]]),
+            ["user", "assistant", "tool"],
+            key="conv_id",
+            order="turn_idx",
+            sym="role",
+        ).collect()
+    }
+    assert {
+        (r.key, r.start_order, r.end_order)
+        for r in matches.itertuples(index=False)
+    } == exp
