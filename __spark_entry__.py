@@ -358,6 +358,25 @@ def _cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timeout pattern: 'view' events with NO 'click' by the same
+    user within the next 24 hours (strictly later in event order).
+    Running-min-over-reversed-order window — one shuffle, no
+    NOT-EXISTS anti-join (operators/cep.py::match_absence)."""
+    from dbus_spark.operators.cep import match_absence
+
+    events = load_table(spark, sf_dir, "events")
+    return match_absence(
+        events,
+        first="view",
+        absent="click",
+        within="24 hours",
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+    )
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -809,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence": _cep_sequence,
         "cep_runs": _cep_runs,
         "cep_funnel": _cep_funnel,
+        "cep_absence": _cep_absence,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -850,10 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_ivf": _emb_neardup_ivf,
         "emb_neardup_ivf_trained": _emb_neardup_ivf_trained,
         "emb_neardup_groups": _emb_neardup_groups,
-        "emb_knn_lsh": _emb_knn_lsh,
         # --- rotation tail: long-stable, code-unchanged since their green
         # --- rows in CORRECTNESS_r01..r04; sat out of the driver's 50-row
         # --- window this round (still covered by tests/test_entry_oracle.py).
+        "emb_knn_lsh": _emb_knn_lsh,
         "sliding_window": _sliding_window,
         "session_window_user": _session_window_user,
         "tpch_q3_lite": _tpch_q3_lite,
@@ -1273,6 +1293,18 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "  (1, 'click', (SELECT COUNT(*) FROM s1)), "
             "  (2, 'purchase', (SELECT COUNT(*) FROM s2))"
             ") t(stage_idx, stage, n_keys)"
+        ),
+        "cep_absence": (
+            "WITH o AS ("
+            "  SELECT user_id, event_id, event_type, ts, "
+            "    min(CASE WHEN event_type = 'click' THEN ts END) OVER ("
+            "      PARTITION BY user_id ORDER BY event_id "
+            "      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+            "    ) AS nb "
+            "  FROM events"
+            ") SELECT user_id, event_id AS start_event_id, ts AS start_ts "
+            "FROM o WHERE event_type = 'view' "
+            "AND (nb IS NULL OR nb > ts + INTERVAL 24 HOUR)"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

@@ -464,3 +464,350 @@ def streaming_match_sequence(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- absence / timeout patterns ----------------------------------------
+
+
+def match_absence(
+    df: DataFrame,
+    first: str,
+    absent: str,
+    within: str,
+    key: str = "conv_id",
+    order: list[str] | str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+) -> DataFrame:
+    """Timeout pattern: ``first`` events NOT followed by an ``absent``
+    event of the same key within ``within`` (an INTERVAL body).
+
+    "Followed" means strictly later in the per-key (order) sequence —
+    the event-order semantics a transcript stream defines (ties on ts
+    are broken by the order column, same as every operator here).
+
+    Plan shape: the next-B timestamp is a RUNNING min over the
+    reversed per-key order — a growing frame ([unboundedPreceding,
+    -1] after orderBy DESC), which Spark evaluates incrementally in
+    O(rows), unlike the equivalent NOT EXISTS anti-join (a per-row
+    range probe) or the forward [1, unboundedFollowing] frame.  One
+    shuffle on the key, no join.  Output: ``key, start_<order0>,
+    start_ts`` — the unanswered ``first`` events.
+    """
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.min(F.when(F.col(sym) == absent, F.col(ts))).over(w)
+    deadline = F.col(ts) + F.expr(f"INTERVAL {within}")
+    o0 = order_cols[0]
+    return (
+        df.withColumn("_next_b", nxt)
+        .filter(
+            (F.col(sym) == first)
+            & (F.col("_next_b").isNull() | (F.col("_next_b") > deadline))
+        )
+        .select(
+            F.col(key),
+            F.col(o0).alias(f"start_{o0}"),
+            F.col(ts).alias("start_ts"),
+        )
+    )
+
+
+# Streaming twin.  State per bucket: (pending, frontier) —
+# pending = `first` events still awaiting their `absent` partner
+# (bounded: an entry resolves as soon as the key's stream or the
+# watermark passes its deadline, so it lives at most `within` of
+# event time); frontier = per-key (max order, last ts) for the
+# redelivery guard, TTL-evicted like the sequence matcher's tail.
+#
+# An entry resolves UNANSWERED the moment anything proves no
+# qualifying `absent` event can still arrive: (a) a same-key row with
+# ts past the deadline (in-order input ⇒ later rows only), or (b) the
+# watermark passing the deadline (event-time timer).  It resolves
+# ANSWERED when any same-key `absent` row lands at-or-before the
+# deadline.  Emission is therefore exactly the batch twin's verdict,
+# just delivered incrementally.
+
+
+def _cep_load2(state) -> tuple[pd.DataFrame, pd.DataFrame]:
+    (blob,) = state.get
+    blob = bytes(blob)
+    assert blob[:1] == _CEP_FMT_V1
+    p, f = pickle.loads(blob[1:])
+    return pd.DataFrame(p), pd.DataFrame(f)
+
+
+def _cep_save2(state, pending: pd.DataFrame, frontier: pd.DataFrame) -> None:
+    payload = (
+        {c: pending[c].to_numpy() for c in pending.columns},
+        {c: frontier[c].to_numpy() for c in frontier.columns},
+    )
+    state.update((_CEP_FMT_V1 + pickle.dumps(payload, protocol=5),))
+
+
+def _empty_pending_abs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": np.array([], object),
+            "order": np.array([], np.int64),
+            "ts_us": np.array([], np.int64),
+            "deadline_us": np.array([], np.int64),
+        }
+    )
+
+
+def _empty_frontier_abs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": np.array([], object),
+            "max_order": np.array([], np.int64),
+            "last_ts_us": np.array([], np.int64),
+        }
+    )
+
+
+def _emit_frame(sub: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": sub["key"].to_numpy(object),
+            "start_order": sub["order"].to_numpy(np.int64),
+            "start_ts": sub["ts_us"].to_numpy(np.int64).view("datetime64[us]"),
+        }
+    )
+
+
+def _make_absence_fn(
+    first: str, absent: str, within_us: int, ttl_ms: int
+):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        wm_us = wm * 1000
+
+        if state.hasTimedOut:
+            pending, frontier = _cep_load2(state)
+            due = pending["deadline_us"].to_numpy() <= wm_us
+            emit = pending[due]
+            pending = pending[~due]
+            frontier = frontier[
+                frontier["last_ts_us"].to_numpy() // 1000 + ttl_ms > wm
+            ]
+            if len(pending) or len(frontier):
+                _cep_save2(state, pending, frontier)
+                nxt = int(pending["deadline_us"].min() // 1000) if len(
+                    pending
+                ) else wm + ttl_ms
+                state.setTimeoutTimestamp(max(nxt, wm + 1))
+            else:
+                state.remove()
+            if len(emit):
+                yield _emit_frame(emit)
+            return
+
+        pending, frontier = (
+            _cep_load2(state)
+            if state.exists
+            else (_empty_pending_abs(), _empty_frontier_abs())
+        )
+        chunks = [p for p in pdfs if len(p)]
+        emits: list[pd.DataFrame] = []
+        if chunks:
+            new = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True, copy=False)
+            )
+            new = pd.DataFrame(
+                {
+                    "key": new["key"].to_numpy(object),
+                    "sym": new["sym"].to_numpy(object),
+                    "order": new["order"].to_numpy(np.int64),
+                    "ts_us": new["ts"].to_numpy("datetime64[us]").view(np.int64),
+                }
+            ).sort_values(["key", "order"], kind="stable")
+            # redelivery guard: drop rows at-or-below the key frontier
+            if len(frontier):
+                fmax = frontier.set_index("key")["max_order"]
+                thresh = fmax.reindex(
+                    new["key"], fill_value=np.int64(-(2 ** 62))
+                ).to_numpy(np.int64)
+                new = new[new["order"].to_numpy() > thresh]
+            new = new.drop_duplicates(["key", "order"])
+            if len(new):
+                g = new.groupby("key", sort=False)
+                sym_arr = new["sym"].to_numpy(object)
+                INF = np.int64(2 ** 62)
+                # next `absent` ts strictly after each row, within the
+                # batch: reverse per-key cummin of the B timestamps
+                # (includes self), then shift up one row and mask each
+                # key's last row
+                b_ts = np.where(
+                    sym_arr == absent, new["ts_us"].to_numpy(np.int64), INF
+                )
+                nb = (
+                    pd.Series(b_ts[::-1])
+                    .groupby(new["key"].to_numpy(object)[::-1], sort=False)
+                    .cummin()
+                    .to_numpy()[::-1]
+                )
+                rev_pos = g.cumcount(ascending=False).to_numpy()
+                nb_shift = np.empty(len(new), np.int64)
+                nb_shift[:-1] = nb[1:]
+                nb_shift[-1] = INF
+                nb_shift[rev_pos == 0] = INF
+
+                new_first = new[sym_arr == first]
+                nf_nb = nb_shift[sym_arr == first]
+                nf_deadline = new_first["ts_us"].to_numpy(np.int64) + within_us
+                key_last = g["ts_us"].max()
+
+                answered = nf_nb <= nf_deadline
+                cand = pd.DataFrame(
+                    {
+                        "key": new_first["key"].to_numpy(object)[~answered],
+                        "order": new_first["order"].to_numpy(np.int64)[
+                            ~answered
+                        ],
+                        "ts_us": new_first["ts_us"].to_numpy(np.int64)[
+                            ~answered
+                        ],
+                        "deadline_us": nf_deadline[~answered],
+                    }
+                )
+                # resolve state-pending entries with this batch's rows:
+                # all new rows are strictly after any pending entry
+                if len(pending):
+                    touched = pending["key"].isin(new["key"]).to_numpy()
+                    pt = pending[touched]
+                    min_b = pd.Series(b_ts).groupby(
+                        new["key"].to_numpy(object), sort=False
+                    ).min()
+                    pb = min_b.reindex(
+                        pt["key"], fill_value=np.int64(2 ** 62)
+                    ).to_numpy(np.int64)
+                    p_answered = pb <= pt["deadline_us"].to_numpy()
+                    pending = pd.concat(
+                        [pending[~touched], pt[~p_answered]],
+                        ignore_index=True,
+                        copy=False,
+                    )
+                pool = pd.concat([pending, cand], ignore_index=True, copy=False)
+                # unanswered-final: the key's stream has passed the
+                # deadline (later rows can only be later still)
+                kl = key_last.reindex(
+                    pool["key"], fill_value=np.int64(-(2 ** 62))
+                ).to_numpy(np.int64)
+                final = kl > pool["deadline_us"].to_numpy()
+                if final.any():
+                    emits.append(_emit_frame(pool[final]))
+                pending = pool[~final].reset_index(drop=True)
+                # advance frontiers (new keys appended, touched refreshed)
+                fnew = pd.DataFrame(
+                    {
+                        "key": g["order"].max().index.to_numpy(object),
+                        "max_order": g["order"].max().to_numpy(np.int64),
+                        "last_ts_us": key_last.to_numpy(np.int64),
+                    }
+                )
+                frontier = (
+                    pd.concat([frontier, fnew], ignore_index=True, copy=False)
+                    .sort_values("max_order")
+                    .drop_duplicates("key", keep="last")
+                )
+        # watermark sweep (same as the timeout path)
+        due = pending["deadline_us"].to_numpy() <= wm_us
+        if due.any():
+            emits.append(_emit_frame(pending[due]))
+            pending = pending[~due]
+        frontier = frontier[
+            frontier["last_ts_us"].to_numpy() // 1000 + ttl_ms > wm
+        ]
+        if len(pending) or len(frontier):
+            _cep_save2(state, pending, frontier)
+            nxt = int(pending["deadline_us"].min() // 1000) if len(
+                pending
+            ) else wm + ttl_ms
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
+        else:
+            state.remove()
+        for e in emits:
+            yield e
+
+    return fn
+
+
+def streaming_match_absence(
+    df: DataFrame,
+    first: str,
+    absent: str,
+    within: str,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+    watermark: str = "10 minutes",
+    ttl_ms: int = 600_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming twin of :func:`match_absence` — the timeout-pattern
+    detector.  Emits a ``first`` event as soon as no qualifying
+    ``absent`` partner can still arrive: a later same-key row past the
+    deadline, or the watermark passing it (event-time timer).  Same
+    in-order exactly-once input contract as
+    :func:`streaming_match_sequence`; pending state is bounded by the
+    ``within`` horizon (every entry resolves within it), frontier
+    entries by ``ttl_ms``.  Output: ``key, start_order, start_ts``.
+
+    Timer caveat: with
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` (this
+    repo's session default — a deliberate micro-batch-overhead choice
+    for the bench verticals) watermark-only emission waits for the
+    NEXT data batch; on a paused source the last pending entries sit
+    until data resumes.  A deployment that needs prompt timeout
+    emission on an idle stream sets that conf to ``true`` for the CEP
+    query's session (what the tests do) — on a live 10^12-turn bus
+    the distinction is moot, data never stops.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    within_us = int(
+        df.sparkSession.createDataFrame([(0,)], "x int")
+        .select(
+            F.expr(
+                f"unix_micros(timestamp'2000-01-01' + INTERVAL {within})"
+                " - unix_micros(timestamp'2000-01-01')"
+            ).alias("us")
+        )
+        .head()[0]
+    )
+    src = df.select(
+        F.col(key).alias("key"),
+        F.col(sym).alias("sym"),
+        F.col(order).cast("long").alias("order"),
+        F.col(ts).alias("ts"),
+    ).withColumn(
+        "_bkt", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("start_order", T.LongType()),
+            T.StructField("start_ts", T.TimestampType()),
+        ]
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            _make_absence_fn(first, absent, within_us, ttl_ms),
+            outputStructType=out_schema,
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

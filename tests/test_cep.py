@@ -344,3 +344,204 @@ def test_stream_kill_resume(spark, turns_pd, tmp_path):
     }
     assert matches == _pd_matches(turns_pd, PATTERN)
     assert not out.duplicated(["key", "start_order", "end_order"]).any()
+
+
+# --- absence / timeout patterns ---------------------------------------
+
+
+def _pd_absence_emitted(pdf, first, absent, within, wm_delay):
+    """Replica of the streaming absence contract: batch-unanswered
+    `first` events that are RESOLVABLE — by a later same-key row past
+    the deadline, or by the final watermark (global max ts − delay)
+    passing it."""
+    out = set()
+    final_wm = pdf["ts"].max() - wm_delay
+    for cid, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.role != first:
+                continue
+            deadline = r.ts + within
+            nb = next(
+                (x.ts for x in rows[i + 1:] if x.role == absent), None
+            )
+            if nb is not None and nb <= deadline:
+                continue  # answered in-stream
+            if rows[-1].ts > deadline or deadline <= final_wm:
+                out.add((cid, r.turn_idx))
+    return out
+
+
+def test_match_absence_vs_pandas(turns_df, turns_pd):
+    from dbus_spark.operators.cep import match_absence
+
+    got = {
+        (r["conv_id"], r["start_turn_idx"])
+        for r in match_absence(
+            turns_df, first="user", absent="tool", within="5 minutes",
+            key="conv_id", order="turn_idx", sym="role",
+        ).collect()
+    }
+    exp = set()
+    for cid, g in turns_pd.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.role != "user":
+                continue
+            nb = next(
+                (x.ts for x in rows[i + 1:] if x.role == "tool"), None
+            )
+            if nb is None or nb > r.ts + pd.Timedelta(minutes=5):
+                exp.add((cid, r.turn_idx))
+    assert got == exp
+    # the horizon must bite both ways
+    n_user = (turns_pd["role"] == "user").sum()
+    assert 0 < len(got) < n_user
+
+
+class _no_data_batches:
+    """Enable watermark-only micro-batches for the query under test:
+    the session default disables them (bench overhead choice), but
+    end-of-stream timeout EMISSION needs one — see the
+    streaming_match_absence docstring."""
+
+    KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, "true")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+
+
+def _run_absence_stream(spark, turns_pd, tmp_path, n_files):
+    from dbus_spark.operators.cep import streaming_match_absence
+
+    in_dir = tmp_path / f"in_abs_{n_files}"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), n_files)
+    for i, idx in enumerate(parts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_absence(
+        src, first="user", absent="tool", within="5 minutes",
+        key="conv_id", order="turn_idx", sym="role",
+        watermark="10 minutes", n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    with _no_data_batches(spark):
+        q = (
+            v.writeStream.outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_abs_{n_files}")
+            )
+            .foreachBatch(collect)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert not out.duplicated(["key", "start_order"]).any()
+    return {(r.key, r.start_order) for r in out.itertuples(index=False)}
+
+
+def test_stream_absence_matches_replica(spark, turns_pd, tmp_path):
+    exp = _pd_absence_emitted(
+        turns_pd, "user", "tool",
+        pd.Timedelta(minutes=5), pd.Timedelta(minutes=10),
+    )
+    assert len(exp) > 10
+    assert _run_absence_stream(spark, turns_pd, tmp_path, 1) == exp
+
+
+def test_stream_absence_split_equivalence(spark, turns_pd, tmp_path):
+    """The emitted set must not depend on the micro-batch split:
+    pending entries carry across batches; in-stream resolution and
+    the final-watermark sweep land on the same verdicts."""
+    exp = _pd_absence_emitted(
+        turns_pd, "user", "tool",
+        pd.Timedelta(minutes=5), pd.Timedelta(minutes=10),
+    )
+    assert _run_absence_stream(spark, turns_pd, tmp_path, 7) == exp
+
+
+def test_stream_absence_kill_resume(spark, turns_pd, tmp_path):
+    from dbus_spark.operators.cep import streaming_match_absence
+
+    in_dir = tmp_path / "in_abs_kr"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), 6)
+    for i, idx in enumerate(parts[:3]):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        v = streaming_match_absence(
+            src, first="user", absent="tool", within="5 minutes",
+            key="conv_id", order="turn_idx", sym="role",
+            watermark="10 minutes", n_buckets=8, ttl_ms=86_400_000,
+        )
+        return (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_abs_kr"))
+            .foreachBatch(collect)
+            .start()
+        )
+
+    with _no_data_batches(spark):
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        for i, idx in enumerate(parts[3:], start=3):
+            ordered.iloc[idx].to_parquet(
+                in_dir / f"b-{i:04d}.parquet", index=False
+            )
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    exp = _pd_absence_emitted(
+        turns_pd, "user", "tool",
+        pd.Timedelta(minutes=5), pd.Timedelta(minutes=10),
+    )
+    assert {
+        (r.key, r.start_order) for r in out.itertuples(index=False)
+    } == exp
+    assert not out.duplicated(["key", "start_order"]).any()
