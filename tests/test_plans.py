@@ -348,3 +348,13 @@ def test_cep_runs_reuses_partitioning(spark):
     assert plan.count("Exchange") <= 2  # node header + detail line
     assert plan.count("hashpartitioning(user_id") == 1
     assert "partial_count" in plan  # map-side combine before the agg
+
+
+def test_cep_absence_no_antijoin(spark):
+    """match_absence must be the running-min-over-reversed-order
+    window, not a NOT-EXISTS anti-join: one shuffle on the key, no
+    join node, no per-row range probe."""
+    q = entrymod.queries()["cep_absence"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
