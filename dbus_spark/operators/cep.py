@@ -83,7 +83,9 @@ def match_sequence(
     A match is ``L = len(pattern)`` CONSECUTIVE rows (in per-key
     ``order``) whose symbols equal ``pattern``, optionally with
     ``ts_last - ts_first <= within`` (an INTERVAL literal body, e.g.
-    ``"1 hour"``).  Output: one row per match —
+    ``"1 hour"``).  Each pattern element is a symbol or a list/tuple/
+    set of symbols (alternation: the position matches ANY of them).
+    Output: one row per match —
     ``key, start_<order0>, end_<order0>, start_ts, end_ts``.
 
     Plan shape: window ``lead`` columns over (key, order) — a single
@@ -97,10 +99,16 @@ def match_sequence(
     L = len(pattern)
     w = Window.partitionBy(key).orderBy(*order_cols)
     out = df
-    cond = F.col(sym) == pattern[0]
+
+    def _elem_cond(col: Column, elem) -> Column:
+        if isinstance(elem, (list, tuple, set, frozenset)):
+            return col.isin(*sorted(elem))
+        return col == elem
+
+    cond = _elem_cond(F.col(sym), pattern[0])
     for i in range(1, L):
         out = out.withColumn(f"_s{i}", F.lead(sym, i).over(w))
-        cond = cond & (F.col(f"_s{i}") == pattern[i])
+        cond = cond & _elem_cond(F.col(f"_s{i}"), pattern[i])
     end_order = F.lead(order_cols[0], L - 1).over(w) if L > 1 else F.col(order_cols[0])
     end_ts = F.lead(ts, L - 1).over(w) if L > 1 else F.col(ts)
     out = out.withColumn("_end_order", end_order).withColumn("_end_ts", end_ts)
@@ -254,10 +262,15 @@ def _match_block(
         z = np.array([], dtype=object)
         zi = np.array([], dtype=np.int64)
         return z, zi, zi, zi.astype("datetime64[us]"), zi.astype("datetime64[us]")
+    def _elem_ok(vals: np.ndarray, elem) -> np.ndarray:
+        if isinstance(elem, (list, tuple, set, frozenset)):
+            return np.isin(vals, sorted(elem))
+        return vals == elem
+
     m = n - L + 1
-    ok = syms[:m] == pattern[0]
+    ok = _elem_ok(syms[:m], pattern[0])
     for i in range(1, L):
-        ok &= syms[i : m + i] == pattern[i]
+        ok &= _elem_ok(syms[i : m + i], pattern[i])
     ok &= keys[:m] == keys[L - 1 :]
     if within_us is not None:
         ok &= (ts_us[L - 1 :] - ts_us[:m]) <= within_us

@@ -545,3 +545,86 @@ def test_stream_absence_kill_resume(spark, turns_pd, tmp_path):
         (r.key, r.start_order) for r in out.itertuples(index=False)
     } == exp
     assert not out.duplicated(["key", "start_order"]).any()
+
+
+# --- alternation -------------------------------------------------------
+
+
+def _pd_matches_alt(pdf, pattern):
+    L = len(pattern)
+    out = set()
+    for cid, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        syms = g["role"].tolist()
+        idxs = g["turn_idx"].tolist()
+        for i in range(len(syms) - L + 1):
+            if all(
+                syms[i + j] in p if isinstance(p, (list, set, tuple))
+                else syms[i + j] == p
+                for j, p in enumerate(pattern)
+            ):
+                out.add((cid, idxs[i], idxs[i + L - 1]))
+    return out
+
+
+ALT_PATTERN = ["user", ["assistant", "tool"], "user"]
+
+
+def test_match_sequence_alternation(turns_df, turns_pd):
+    from dbus_spark.operators.cep import match_sequence
+
+    got = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_sequence(
+            turns_df, ALT_PATTERN, key="conv_id", order="turn_idx",
+            sym="role",
+        ).collect()
+    }
+    exp = _pd_matches_alt(turns_pd, ALT_PATTERN)
+    assert got == exp
+    # alternation must be wider than either single-symbol middle
+    narrow = _pd_matches_alt(turns_pd, ["user", "assistant", "user"])
+    assert narrow < exp
+
+
+def test_stream_alternation_matches_batch(spark, turns_pd, tmp_path):
+    from dbus_spark.operators.cep import streaming_match_sequence
+
+    in_dir = tmp_path / "in_alt"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    for i, idx in enumerate(np.array_split(np.arange(len(ordered)), 5)):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_sequence(
+        src, ALT_PATTERN, key="conv_id", order="turn_idx", sym="role",
+        n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_alt"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert {
+        (r.key, r.start_order, r.end_order)
+        for r in out.itertuples(index=False)
+    } == _pd_matches_alt(turns_pd, ALT_PATTERN)
