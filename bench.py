@@ -37,6 +37,7 @@ BATCH_QUERIES = [
     "cep_sequence",
     "cep_runs",
     "cep_funnel",
+    "cep_absence",
     "topk_per_user",
     "event_json",
     "event_quantiles",
