@@ -628,3 +628,71 @@ def test_stream_alternation_matches_batch(spark, turns_pd, tmp_path):
         (r.key, r.start_order, r.end_order)
         for r in out.itertuples(index=False)
     } == _pd_matches_alt(turns_pd, ALT_PATTERN)
+
+
+def test_stream_ttl_eviction_contract(spark, tmp_path):
+    """The documented bounded-state trade: a key silent for longer
+    than ttl has its tail evicted, so a pattern straddling the gap is
+    missed — while a within <= ttl match is never lost (the invariant
+    the operator docstring states)."""
+    from dbus_spark.operators.cep import streaming_match_sequence
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # c1: user,assistant then a 2h silence, then tool — the match
+        # straddles the gap and must be LOST at ttl=10min
+        ("c1", 0, "user", base),
+        ("c1", 1, "assistant", base + dt.timedelta(seconds=60)),
+        ("c1", 2, "tool", base + dt.timedelta(hours=2)),
+        # filler traffic DURING the silence: advances the watermark
+        # past c1's tail deadlines so the sweep (same bucket —
+        # n_buckets=1) evicts it before c1 resumes
+        ("c4", 0, "user", base + dt.timedelta(minutes=20)),
+        ("c4", 1, "user", base + dt.timedelta(minutes=40)),
+        ("c4", 2, "user", base + dt.timedelta(minutes=60)),
+        # c2: tight match (1 min spacing) — must survive
+        ("c2", 0, "user", base + dt.timedelta(hours=2, minutes=1)),
+        ("c2", 1, "assistant", base + dt.timedelta(hours=2, minutes=2)),
+        ("c2", 2, "tool", base + dt.timedelta(hours=2, minutes=3)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    in_dir = tmp_path / "in_ttl"
+    os.makedirs(in_dir)
+    ordered = pdf.sort_values("ts").reset_index(drop=True)
+    # one row per file: the 2h gap lands across micro-batches
+    for i in range(len(ordered)):
+        ordered.iloc[[i]].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_sequence(
+        src, PATTERN, key="conv_id", order="turn_idx", sym="role",
+        watermark="1 minute", n_buckets=1, ttl_ms=600_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    keys = set(out["key"]) if len(out) else set()
+    assert "c2" in keys  # tight match survived
+    assert "c1" not in keys  # straddling match evicted — the trade
