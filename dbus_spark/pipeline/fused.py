@@ -163,7 +163,16 @@ def stage_b_ordered(
         keys=["conv_id", "turn_idx"],
         dedup_mode="epoch_overwrite",
         track_counts=False,
-        coalesce_output=4,
+        # ONE part file per epoch, same reasoning as the stage-A bus
+        # sink: stage C TAILS this directory, and parquet part files
+        # become visible at TASK commit (one rename each), so a
+        # multi-file epoch can be listed half-written. Its rows are
+        # hash-split, not order-split — a partial epoch hands the CEP
+        # stage a gap-ridden subsequence, which manufactures spurious
+        # gap-spanning matches and then suppresses the real ones via
+        # the freshness filter (observed as a flaky
+        # test_fused_three_stage_cep before this pin, r5).
+        coalesce_output=1,
         key_types={"conv_id": "string", "turn_idx": "int"},
     )
     q = (
