@@ -377,6 +377,26 @@ def _cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP Kleene-quantified pattern: ``view{1,3} click{1,}
+    purchase{1,}`` within 24 hours under maximal-run semantics (each
+    position consumes one maximal same-type run; runs must be
+    consecutive).  Run contraction + run-level lead() — one
+    hash-partition on the key end-to-end, no join
+    (operators/cep.py::match_quantified)."""
+    from dbus_spark.operators.cep import match_quantified
+
+    events = load_table(spark, sf_dir, "events")
+    return match_quantified(
+        events,
+        [("view", 1, 3), ("click", 1, None), ("purchase", 1, None)],
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+        within="24 hours",
+    )
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -829,6 +849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_runs": _cep_runs,
         "cep_funnel": _cep_funnel,
         "cep_absence": _cep_absence,
+        "cep_quantified": _cep_quantified,
+        # moved into the checked head: the shared CC core (graph.py) took
+        # the _cc_ column rename this round, so its consumers need
+        # round-current driver rows
+        "emb_neardup_groups": _emb_neardup_groups,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -869,7 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": _emb_neardup_lsh,
         "emb_neardup_ivf": _emb_neardup_ivf,
         "emb_neardup_ivf_trained": _emb_neardup_ivf_trained,
-        "emb_neardup_groups": _emb_neardup_groups,
         # --- rotation tail: long-stable, code-unchanged since their green
         # --- rows in CORRECTNESS_r01..r04; sat out of the driver's 50-row
         # --- window this round (still covered by tests/test_entry_oracle.py).
@@ -1305,6 +1329,37 @@ def _oracle_sql_all() -> dict[str, str | None]:
             ") SELECT user_id, event_id AS start_event_id, ts AS start_ts "
             "FROM o WHERE event_type = 'view' "
             "AND (nb IS NULL OR nb > ts + INTERVAL 24 HOUR)"
+        ),
+        "cep_quantified": (
+            # maximal-run semantics: contract to runs (gaps-and-islands),
+            # then a run-level lead() sequence with per-position length
+            # bounds — the oracle mirror of match_quantified
+            "WITH r AS ("
+            "  SELECT user_id, event_type, event_id, ts, "
+            "    row_number() OVER (PARTITION BY user_id "
+            "      ORDER BY event_id) AS rn1, "
+            "    row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY event_id) AS rn2 "
+            "  FROM events"
+            "), runs AS ("
+            "  SELECT user_id, event_type, COUNT(*) AS len, "
+            "    arg_min(event_id, rn1) AS so, arg_max(event_id, rn1) AS eo, "
+            "    arg_min(ts, rn1) AS sts, arg_max(ts, rn1) AS ets, "
+            "    MIN(rn1) AS pos "
+            "  FROM r GROUP BY user_id, event_type, rn1 - rn2"
+            "), o AS ("
+            "  SELECT user_id, event_type, len, so, sts, "
+            "    lead(event_type, 1) OVER w AS s1, lead(len, 1) OVER w AS l1, "
+            "    lead(event_type, 2) OVER w AS s2, lead(len, 2) OVER w AS l2, "
+            "    lead(eo, 2) OVER w AS e_eo, lead(ets, 2) OVER w AS e_ets "
+            "  FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY pos)"
+            ") SELECT user_id, so AS start_event_id, e_eo AS end_event_id, "
+            "sts AS start_ts, e_ets AS end_ts, "
+            "len AS len_0, l1 AS len_1, l2 AS len_2 "
+            "FROM o WHERE event_type = 'view' AND len BETWEEN 1 AND 3 "
+            "AND s1 = 'click' AND l1 >= 1 "
+            "AND s2 = 'purchase' AND l2 >= 1 "
+            "AND e_ets <= sts + INTERVAL 24 HOUR"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

@@ -38,6 +38,7 @@ BATCH_QUERIES = [
     "cep_runs",
     "cep_funnel",
     "cep_absence",
+    "cep_quantified",
     "topk_per_user",
     "event_json",
     "event_quantiles",

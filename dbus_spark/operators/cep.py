@@ -169,6 +169,130 @@ def match_runs(
     )
 
 
+def _contract_runs(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    ts: str,
+    sym: str,
+) -> DataFrame:
+    """Contract each key's event stream into its maximal-run stream:
+    one row per maximal same-symbol run, carrying
+    ``key, sym, _len, _so/_eo`` (first order col at run start/end),
+    ``_sts/_ets`` (ts at run start/end) and ``_pos`` (the run's first
+    global row_number — consecutive runs order by it).  Shares the
+    gaps-and-islands shuffle shape with :func:`match_runs`: the
+    ``(key)`` and ``(key, sym)`` windows and the island hash-agg all
+    cluster by subsets of one hash-partition on ``key``, so Catalyst
+    plans a single exchange.
+    """
+    o0 = order_cols[0]
+    w_all = Window.partitionBy(key).orderBy(*order_cols)
+    w_sym = Window.partitionBy(key, sym).orderBy(*order_cols)
+    islands = df.select(
+        key,
+        sym,
+        o0,
+        ts,
+        F.row_number().over(w_all).alias("_rn1"),
+        (F.row_number().over(w_all) - F.row_number().over(w_sym)).alias(
+            "_grp"
+        ),
+    )
+    return islands.groupBy(key, sym, "_grp").agg(
+        F.count("*").alias("_len"),
+        F.min_by(o0, F.col("_rn1")).alias("_so"),
+        F.max_by(o0, F.col("_rn1")).alias("_eo"),
+        F.min_by(ts, F.col("_rn1")).alias("_sts"),
+        F.max_by(ts, F.col("_rn1")).alias("_ets"),
+        F.min("_rn1").alias("_pos"),
+    )
+
+
+def match_quantified(
+    df: DataFrame,
+    pattern: list[tuple],
+    key: str = "conv_id",
+    order: list[str] | str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+    within: str | None = None,
+) -> DataFrame:
+    """Kleene-quantified contiguous pattern — ``A{m,n} B{m',} ...``,
+    the MATCH_RECOGNIZE quantifier analog :func:`match_sequence`
+    (fixed-length) and :func:`match_runs` (single symbol) don't cover.
+
+    ``pattern`` is a list of ``(elem, min_len, max_len)`` where
+    ``elem`` is a symbol or an alternation collection and ``max_len``
+    may be ``None`` (unbounded).  Semantics are MAXIMAL-RUN: position
+    ``i`` consumes exactly one maximal run of its symbol whose length
+    lies in ``[min_len, max_len]``, and positions consume CONSECUTIVE
+    runs.  (So ``[("a",1,2),("b",1,1)]`` does NOT match the tail of
+    ``a a a b`` — the maximal a-run has length 3.  That is the
+    well-defined distributed semantics: it needs no backtracking, and
+    every event belongs to exactly one run, so cost stays O(rows) at
+    any match density.)  Maximal runs alternate symbols by
+    construction, so adjacent pattern positions may even share
+    symbols without ambiguity.
+
+    Plan shape: the run contraction's windows + island agg and the
+    run-level ``lead()`` window all cluster by (subsets extending)
+    ``key`` — ONE hash-partition exchange end-to-end, no join.
+    Output: ``key, start_<order0>, end_<order0>, start_ts, end_ts``
+    spanning first run start → last run end, plus ``len_i`` columns
+    (the matched run length per position).
+    """
+    assert len(pattern) >= 1
+    for elem, mn, mx in pattern:
+        assert mn >= 1, "quantifier min must be >= 1 (runs are non-empty)"
+        assert mx is None or mx >= mn, f"bad quantifier ({mn},{mx})"
+    order_cols = [order] if isinstance(order, str) else list(order)
+    o0 = order_cols[0]
+    runs = _contract_runs(df, key, order_cols, ts, sym)
+    L = len(pattern)
+    w = Window.partitionBy(key).orderBy("_pos")
+
+    def _elem_cond(col: Column, elem) -> Column:
+        if isinstance(elem, (list, tuple, set, frozenset)):
+            return col.isin(*sorted(elem))
+        return col == elem
+
+    def _len_cond(col: Column, mn: int, mx: int | None) -> Column:
+        c = col >= mn
+        return c if mx is None else c & (col <= mx)
+
+    out = runs
+    e0, mn0, mx0 = pattern[0]
+    cond = _elem_cond(F.col(sym), e0) & _len_cond(F.col("_len"), mn0, mx0)
+    for i in range(1, L):
+        out = (
+            out.withColumn(f"_s{i}", F.lead(sym, i).over(w))
+            .withColumn(f"_l{i}", F.lead("_len", i).over(w))
+        )
+        ei, mni, mxi = pattern[i]
+        cond = (
+            cond
+            & _elem_cond(F.col(f"_s{i}"), ei)
+            & _len_cond(F.col(f"_l{i}"), mni, mxi)
+        )
+    end_eo = F.lead("_eo", L - 1).over(w) if L > 1 else F.col("_eo")
+    end_ets = F.lead("_ets", L - 1).over(w) if L > 1 else F.col("_ets")
+    out = out.withColumn("_end_eo", end_eo).withColumn("_end_ets", end_ets)
+    if within is not None:
+        cond = cond & (
+            F.col("_end_ets") <= F.col("_sts") + F.expr(f"INTERVAL {within}")
+        )
+    return out.filter(cond).select(
+        F.col(key),
+        F.col("_so").alias(f"start_{o0}"),
+        F.col("_end_eo").alias(f"end_{o0}"),
+        F.col("_sts").alias("start_ts"),
+        F.col("_end_ets").alias("end_ts"),
+        F.col("_len").alias("len_0"),
+        *[F.col(f"_l{i}").alias(f"len_{i}") for i in range(1, L)],
+    )
+
+
 def funnel(
     df: DataFrame,
     stages: list[tuple[str, Column | str]],

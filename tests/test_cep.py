@@ -696,3 +696,132 @@ def test_stream_ttl_eviction_contract(spark, tmp_path):
     keys = set(out["key"]) if len(out) else set()
     assert "c2" in keys  # tight match survived
     assert "c1" not in keys  # straddling match evicted — the trade
+
+
+# --- quantified (Kleene) patterns --------------------------------------
+
+
+def _pd_runs(g: pd.DataFrame) -> list[tuple]:
+    """Contract one conv's in-order rows to maximal runs:
+    (sym, len, start_idx, end_idx, start_ts, end_ts)."""
+    runs = []
+    for _, row in g.sort_values("turn_idx").iterrows():
+        if runs and runs[-1][0] == row["role"]:
+            s, n, si, _, sts, _ = runs[-1]
+            runs[-1] = (s, n + 1, si, row["turn_idx"], sts, row["ts"])
+        else:
+            runs.append(
+                (row["role"], 1, row["turn_idx"], row["turn_idx"],
+                 row["ts"], row["ts"])
+            )
+    return runs
+
+
+def _pd_quantified(pdf: pd.DataFrame, pattern, within=None) -> set:
+    """Reference for maximal-run semantics: position i consumes one
+    maximal run with length in [mn, mx]."""
+    L = len(pattern)
+    out = set()
+    for cid, g in pdf.groupby("conv_id"):
+        runs = _pd_runs(g)
+        for i in range(len(runs) - L + 1):
+            ok = True
+            for j, (elem, mn, mx) in enumerate(pattern):
+                sym, n = runs[i + j][0], runs[i + j][1]
+                elems = (
+                    elem if isinstance(elem, (list, tuple, set)) else [elem]
+                )
+                if sym not in elems or n < mn or (mx is not None and n > mx):
+                    ok = False
+                    break
+            if ok:
+                span = runs[i + L - 1][5] - runs[i][4]
+                if within is not None and span > within:
+                    continue
+                out.add(
+                    (cid, runs[i][2], runs[i + L - 1][3])
+                    + tuple(runs[i + j][1] for j in range(L))
+                )
+    return out
+
+
+QPATTERN = [("user", 1, 2), ("assistant", 1, None), ("tool", 1, 1)]
+
+
+def test_match_quantified_vs_pandas(turns_df, turns_pd):
+    from dbus_spark.operators.cep import match_quantified
+
+    got = {
+        (
+            r["conv_id"], r["start_turn_idx"], r["end_turn_idx"],
+            r["len_0"], r["len_1"], r["len_2"],
+        )
+        for r in match_quantified(
+            turns_df, QPATTERN, key="conv_id", order="turn_idx", sym="role"
+        ).collect()
+    }
+    exp = _pd_quantified(turns_pd, QPATTERN)
+    assert got == exp
+    assert len(got) > 20  # fixture must actually contain the pattern
+    # quantifier bounds must BITE: some maximal user-runs exceed 2
+    loose = _pd_quantified(
+        turns_pd, [("user", 1, None), ("assistant", 1, None), ("tool", 1, 1)]
+    )
+    assert len(loose) > len(exp)
+
+
+def test_match_quantified_within(turns_df, turns_pd):
+    from dbus_spark.operators.cep import match_quantified
+
+    got = {
+        (
+            r["conv_id"], r["start_turn_idx"], r["end_turn_idx"],
+            r["len_0"], r["len_1"], r["len_2"],
+        )
+        for r in match_quantified(
+            turns_df, QPATTERN, key="conv_id", order="turn_idx",
+            sym="role", within="30 minutes",
+        ).collect()
+    }
+    exp = _pd_quantified(
+        turns_pd, QPATTERN, within=dt.timedelta(minutes=30)
+    )
+    assert got == exp
+    # the bound must bite: the unbounded set is strictly larger
+    assert len(_pd_quantified(turns_pd, QPATTERN)) > len(got)
+
+
+def test_match_quantified_maximal_run_semantics(spark):
+    """a{1,2} b{1,1} does NOT match the tail of `a a a b` — maximal
+    runs, not regex backtracking (the documented distributed
+    semantics); and alternation positions consume exactly one run."""
+    from dbus_spark.operators.cep import match_quantified
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, s in enumerate("aaab"):
+        rows.append(("c1", i, s, base + dt.timedelta(minutes=i)))
+    for i, s in enumerate("aab"):
+        rows.append(("c2", i, s, base + dt.timedelta(minutes=i)))
+    # c3: a b a — middle position alternation {b, c} takes the b-run
+    for i, s in enumerate("aba"):
+        rows.append(("c3", i, s, base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, ts timestamp"
+    )
+    got = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_quantified(
+            df, [("a", 1, 2), ("b", 1, 1)], key="conv_id",
+            order="turn_idx", sym="role",
+        ).collect()
+    }
+    assert got == {("c2", 0, 2), ("c3", 0, 1)}
+    alt = {
+        (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+        for r in match_quantified(
+            df, [("a", 1, 2), (["b", "c"], 1, 1), ("a", 1, None)],
+            key="conv_id", order="turn_idx", sym="role",
+        ).collect()
+    }
+    assert alt == {("c3", 0, 2)}

@@ -358,3 +358,14 @@ def test_cep_absence_no_antijoin(spark):
     plan = _plan(q)
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_cep_quantified_single_partitioning_no_join(spark):
+    """Run contraction (two windows + island agg) and the run-level
+    lead() window all cluster by user_id or a superset of it: ONE
+    hash-partition exchange end-to-end, no join — event cost stays
+    O(rows) at any match density."""
+    q = entrymod.queries()["cep_quantified"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
