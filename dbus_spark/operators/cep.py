@@ -948,3 +948,366 @@ def streaming_match_absence(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- streaming quantified (Kleene) patterns -----------------------------
+#
+# State per bucket: each key's CONTRACTED run tail — its last L runs as
+# (sym, len, start/end order, start/end ts), of which only the newest
+# can still be open.  Contraction is what bounds state: a quantifier
+# like ``B{1,}`` admits arbitrarily long runs, but a run of any length
+# is one state row, so the blob is O(keys_in_bucket * L) regardless of
+# run lengths — the same reason the batch form's cost is O(rows).
+#
+# Emission discipline: MAXIMAL-run semantics mean a match is decided
+# the moment its LAST run closes (the next different symbol arrives on
+# that key).  A run closes exactly once, in exactly one micro-batch, so
+# evaluating only windows whose last run closed this batch gives
+# exactly-once emission with no dedup bookkeeping.  The flip side is
+# honest too: a pattern whose final run is still open at end-of-stream
+# never fires (nothing has proven the run maximal); a producer that
+# needs stream-end flush appends a per-key sentinel symbol, which
+# closes every run without matching any position.
+
+
+def _quant_match_schema(L: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("start_order", T.LongType()),
+            T.StructField("end_order", T.LongType()),
+            T.StructField("start_ts", T.TimestampType()),
+            T.StructField("end_ts", T.TimestampType()),
+        ]
+        + [T.StructField(f"len_{i}", T.LongType()) for i in range(L)]
+    )
+
+
+_RUN_COLS = [
+    "key", "sym", "len", "so", "eo", "sts_us", "ets_us", "pos",
+    "open", "deadline",
+]
+
+
+def _empty_runs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": np.array([], object),
+            "sym": np.array([], object),
+            "len": np.array([], np.int64),
+            "so": np.array([], np.int64),
+            "eo": np.array([], np.int64),
+            "sts_us": np.array([], np.int64),
+            "ets_us": np.array([], np.int64),
+            "pos": np.array([], np.int64),
+            "open": np.array([], bool),
+            "deadline": np.array([], np.int64),
+        }
+    )
+
+
+def _contract_batch(new: pd.DataFrame) -> pd.DataFrame:
+    """Contract a (key, order)-sorted batch into per-key maximal runs
+    (within-batch maximality; merging with the carried open run and
+    closure bookkeeping happen in the state fn)."""
+    keys = new["key"].to_numpy(object)
+    syms = new["sym"].to_numpy(object)
+    n = len(new)
+    brk = np.empty(n, bool)
+    brk[0] = True
+    brk[1:] = (keys[1:] != keys[:-1]) | (syms[1:] != syms[:-1])
+    rid = np.cumsum(brk) - 1
+    first = np.nonzero(brk)[0]
+    last = np.empty(len(first), np.int64)
+    last[:-1] = first[1:] - 1
+    last[-1] = n - 1
+    orders = new["order"].to_numpy(np.int64)
+    ts_us = new["ts_us"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "key": keys[first],
+            "sym": syms[first],
+            "len": last - first + 1,
+            "so": orders[first],
+            "eo": orders[last],
+            "sts_us": ts_us[first],
+            "ets_us": ts_us[last],
+        }
+    )
+
+
+def _quant_elem_ok(syms: np.ndarray, lens: np.ndarray, elem, mn, mx):
+    if isinstance(elem, (list, tuple, set, frozenset)):
+        ok = np.isin(syms, sorted(elem))
+    else:
+        ok = syms == elem
+    ok = ok & (lens >= mn)
+    if mx is not None:
+        ok = ok & (lens <= mx)
+    return ok
+
+
+def _quant_match_runs(
+    runs: pd.DataFrame,
+    pattern: list[tuple],
+    within_us: int | None,
+) -> pd.DataFrame | None:
+    """Evaluate pattern windows over the (key, pos)-sorted run frame;
+    emit windows whose last run has ``closed_now`` set."""
+    L = len(pattern)
+    n = len(runs)
+    if n < L:
+        return None
+    keys = runs["key"].to_numpy(object)
+    syms = runs["sym"].to_numpy(object)
+    lens = runs["len"].to_numpy(np.int64)
+    m = n - L + 1
+    elem0, mn0, mx0 = pattern[0]
+    ok = _quant_elem_ok(syms[:m], lens[:m], elem0, mn0, mx0)
+    for i in range(1, L):
+        ei, mni, mxi = pattern[i]
+        ok &= _quant_elem_ok(
+            syms[i : m + i], lens[i : m + i], ei, mni, mxi
+        )
+    ok &= keys[:m] == keys[L - 1 :]
+    ok &= runs["closed_now"].to_numpy(bool)[L - 1 :]
+    sts = runs["sts_us"].to_numpy(np.int64)
+    ets = runs["ets_us"].to_numpy(np.int64)
+    if within_us is not None:
+        ok &= (ets[L - 1 :] - sts[:m]) <= within_us
+    idx = np.nonzero(ok)[0]
+    if not len(idx):
+        return None
+    out = {
+        "key": keys[idx],
+        "start_order": runs["so"].to_numpy(np.int64)[idx],
+        "end_order": runs["eo"].to_numpy(np.int64)[idx + L - 1],
+        "start_ts": sts[idx].astype("datetime64[us]"),
+        "end_ts": ets[idx + L - 1].astype("datetime64[us]"),
+    }
+    for i in range(L):
+        out[f"len_{i}"] = lens[idx + i]
+    return pd.DataFrame(out)
+
+def _make_quant_fn(pattern: list[tuple], within_us: int | None, ttl_ms: int):
+    L = len(pattern)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+
+        if state.hasTimedOut:
+            tail = _cep_load(state)
+            tail = tail[tail["deadline"].to_numpy() > wm]
+            if len(tail):
+                _cep_save(state, tail)
+                state.setTimeoutTimestamp(
+                    max(int(tail["deadline"].min()), wm + 1)
+                )
+            else:
+                state.remove()
+            return
+
+        tail = _cep_load(state) if state.exists else _empty_runs()
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            new = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True, copy=False)
+            )
+            new = (
+                pd.DataFrame(
+                    {
+                        "key": new["key"].to_numpy(object),
+                        "sym": new["sym"].to_numpy(object),
+                        "order": new["order"].to_numpy(np.int64),
+                        "ts_us": new["ts"]
+                        .to_numpy("datetime64[us]")
+                        .view(np.int64),
+                    }
+                )
+                .sort_values(["key", "order"], kind="stable")
+                .drop_duplicates(["key", "order"])
+            )
+            # redelivery guard: in-order input, so anything at or below
+            # the key's newest run end has been seen already
+            if len(tail):
+                fmax = tail.groupby("key", sort=False)["eo"].max()
+                thresh = fmax.reindex(
+                    new["key"], fill_value=np.int64(-(2 ** 62))
+                ).to_numpy(np.int64)
+                new = new[new["order"].to_numpy() > thresh]
+            if len(new):
+                fresh = _contract_batch(new)
+                touched = pd.unique(fresh["key"].to_numpy(object))
+                on_t = tail["key"].isin(touched).to_numpy()
+                held = tail[on_t].sort_values(["key", "pos"], kind="stable")
+                untouched = tail[~on_t]
+
+                # fold each key's carried OPEN run into its first fresh
+                # run when the symbol continues across the batch
+                # boundary (run maximality must not see batch edges)
+                first_mask = ~fresh.duplicated("key").to_numpy()
+                if len(held):
+                    opens = held[held["open"].to_numpy(bool)].set_index(
+                        "key"
+                    )
+                    firsts = fresh[first_mask].set_index("key")
+                    j = firsts.join(opens, how="inner", rsuffix="_o")
+                    cont = j[
+                        (j["sym"].to_numpy(object) == j["sym_o"].to_numpy(object))
+                    ]
+                    if len(cont):
+                        merge_first = first_mask & fresh["key"].isin(
+                            cont.index
+                        ).to_numpy()
+                        karr = fresh.loc[merge_first, "key"]
+                        fresh.loc[merge_first, "len"] += cont[
+                            "len_o"
+                        ].reindex(karr).to_numpy(np.int64)
+                        fresh.loc[merge_first, "so"] = cont["so_o"].reindex(
+                            karr
+                        ).to_numpy(np.int64)
+                        fresh.loc[merge_first, "sts_us"] = cont[
+                            "sts_us_o"
+                        ].reindex(karr).to_numpy(np.int64)
+                        merged_open = held["open"].to_numpy(bool) & held[
+                            "key"
+                        ].isin(cont.index).to_numpy()
+                        held = held[~merged_open]
+
+                # closure bookkeeping: a run emits its windows in the
+                # single batch it CLOSES.  Carried closed runs already
+                # emitted; a carried open run that was not folded
+                # closes now (fresh runs follow it); every fresh run
+                # closes now except each key's newest, which is the
+                # new open run.
+                base_pos = (
+                    held.groupby("key", sort=False)["pos"].max()
+                    if len(held)
+                    else pd.Series(dtype=np.int64)
+                )
+                fr_off = (
+                    fresh.groupby("key", sort=False)
+                    .cumcount()
+                    .to_numpy(np.int64)
+                )
+                fr_base = base_pos.reindex(
+                    fresh["key"], fill_value=np.int64(-1)
+                ).to_numpy(np.int64)
+                fresh_last = (
+                    fresh.groupby("key", sort=False)
+                    .cumcount(ascending=False)
+                    .to_numpy()
+                    == 0
+                )
+                fresh = fresh.assign(
+                    pos=fr_base + 1 + fr_off,
+                    open=fresh_last,
+                    closed_now=~fresh_last,
+                    deadline=np.int64(0),
+                )
+                if len(held):
+                    held = held.assign(
+                        closed_now=held["open"].to_numpy(bool), open=False
+                    )
+                else:
+                    held = held.assign(closed_now=np.array([], bool))
+                allr = pd.concat(
+                    [held, fresh], ignore_index=True, copy=False
+                ).sort_values(["key", "pos"], kind="stable")
+                last_ets = allr.groupby("key", sort=False)["ets_us"].max()
+                allr["deadline"] = (
+                    last_ets.reindex(allr["key"]).to_numpy(np.int64) // 1000
+                    + np.int64(ttl_ms)
+                )
+                out = _quant_match_runs(allr, pattern, within_us)
+                # new tail: last L runs per key (the open run plus the
+                # L-1 complete runs any future window can still need)
+                g = (
+                    allr.groupby("key", sort=False)
+                    .cumcount(ascending=False)
+                    .to_numpy()
+                )
+                tail = pd.concat(
+                    [untouched, allr[g < L][_RUN_COLS]],
+                    ignore_index=True,
+                    copy=False,
+                )
+                if out is not None:
+                    yield out
+        tail = tail[tail["deadline"].to_numpy() > wm]
+        if len(tail):
+            _cep_save(state, tail)
+            state.setTimeoutTimestamp(max(int(tail["deadline"].min()), wm + 1))
+        else:
+            state.remove()
+
+    return fn
+
+
+def streaming_match_quantified(
+    df: DataFrame,
+    pattern: list[tuple],
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+    within: str | None = None,
+    watermark: str = "10 minutes",
+    ttl_ms: int = 600_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming twin of :func:`match_quantified` (same maximal-run
+    semantics, same ``len_i`` output columns with generic
+    ``key/start_order/...`` names).
+
+    State per key is its contracted run tail — the last ``L`` runs as
+    single rows — so even unbounded quantifiers (``B{1,}``) hold O(L)
+    state per key no matter how long the runs grow.  A match emits in
+    the micro-batch its LAST run closes (the next different symbol
+    arrives): closure is what proves maximality, so a pattern whose
+    final run is still open at end-of-stream does not fire — a
+    producer needing stream-end flush appends a per-key sentinel
+    symbol, which closes every run and can match no position.  Same
+    in-order exactly-once input contract and TTL eviction trade as
+    :func:`streaming_match_sequence`.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    for elem, mn, mx in pattern:
+        assert mn >= 1, "quantifier min must be >= 1 (runs are non-empty)"
+        assert mx is None or mx >= mn, f"bad quantifier ({mn},{mx})"
+    within_us = None
+    if within is not None:
+        within_us = int(
+            df.sparkSession.createDataFrame([(0,)], "x int")
+            .select(
+                F.expr(
+                    f"unix_micros(timestamp'2000-01-01' + INTERVAL {within})"
+                    " - unix_micros(timestamp'2000-01-01')"
+                ).alias("us")
+            )
+            .head()[0]
+        )
+    src = df.select(
+        F.col(key).alias("key"),
+        F.col(sym).alias("sym"),
+        F.col(order).cast("long").alias("order"),
+        F.col(ts).alias("ts"),
+    ).withColumn(
+        "_bkt", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            _make_quant_fn(list(pattern), within_us, ttl_ms),
+            outputStructType=_quant_match_schema(len(pattern)),
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

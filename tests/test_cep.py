@@ -825,3 +825,233 @@ def test_match_quantified_maximal_run_semantics(spark):
         ).collect()
     }
     assert alt == {("c3", 0, 2)}
+
+
+# --- streaming quantified twin -----------------------------------------
+
+
+def _flush_pd(turns_pd: pd.DataFrame) -> pd.DataFrame:
+    """Append one per-conv sentinel END turn after the last real turn:
+    closes every run (streaming emission needs closure to prove
+    maximality) while matching no pattern position, so the batch match
+    set is unchanged."""
+    last = turns_pd.sort_values("turn_idx").groupby("conv_id").tail(1)
+    flush = last.assign(
+        turn_idx=last["turn_idx"] + 1,
+        role="END",
+        ts=last["ts"] + pd.Timedelta(seconds=1),
+    )
+    out = (
+        pd.concat([turns_pd, flush], ignore_index=True)
+        .sort_values(["ts", "conv_id"])
+        .reset_index(drop=True)
+    )
+    # Timedelta arithmetic promotes to ns; parquet then stores
+    # TIMESTAMP(NANOS), which Spark's TIMESTAMP reader rejects
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out
+
+
+def _run_quant_stream(spark, pdf, tmp_path, n_files, tag, within=None):
+    from dbus_spark.operators.cep import streaming_match_quantified
+
+    in_dir = tmp_path / f"qin_{tag}"
+    os.makedirs(in_dir)
+    ordered = pdf.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), n_files)
+    for i, idx in enumerate(parts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_quantified(
+        src, QPATTERN, key="conv_id", order="turn_idx", sym="role",
+        within=within, n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"qck_{tag}"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    return out
+
+
+def _quant_set(out: pd.DataFrame) -> set:
+    return {
+        (r.key, r.start_order, r.end_order, r.len_0, r.len_1, r.len_2)
+        for r in out.itertuples(index=False)
+    }
+
+
+def test_stream_quantified_matches_batch(spark, turns_pd, tmp_path):
+    """With a per-key flush sentinel, the stream must emit exactly the
+    batch twin's match set — for single-batch AND split replays (runs
+    straddling micro-batch boundaries must merge, and no match may
+    fire twice)."""
+    pdf = _flush_pd(turns_pd)
+    exp = _pd_quantified(turns_pd, QPATTERN)
+    assert len(exp) > 20
+    one = _quant_set(_run_quant_stream(spark, pdf, tmp_path, 1, "one"))
+    assert one == exp
+    many = _quant_set(_run_quant_stream(spark, pdf, tmp_path, 9, "many"))
+    assert many == exp
+
+
+def test_stream_quantified_within(spark, turns_pd, tmp_path):
+    pdf = _flush_pd(turns_pd)
+    exp = _pd_quantified(
+        turns_pd, QPATTERN, within=dt.timedelta(minutes=30)
+    )
+    got = _quant_set(
+        _run_quant_stream(
+            spark, pdf, tmp_path, 5, "within", within="30 minutes"
+        )
+    )
+    assert got == exp
+    assert got != _pd_quantified(turns_pd, QPATTERN)  # bound bites
+
+
+def test_stream_quantified_open_run_holds(spark, turns_pd, tmp_path):
+    """Without the flush sentinel, matches whose FINAL run is the
+    key's last run never emit (closure proves maximality) — and
+    everything else still does."""
+    exp_all = _pd_quantified(turns_pd, QPATTERN)
+    got = _quant_set(
+        _run_quant_stream(spark, turns_pd, tmp_path, 4, "noflush")
+    )
+    assert got <= exp_all
+    # the held-back matches are exactly those ending at a conv's tail
+    last_idx = turns_pd.groupby("conv_id")["turn_idx"].max()
+    held_back = {
+        m for m in exp_all if m[2] == last_idx[m[0]]
+    }
+    assert exp_all - got == held_back
+
+
+def test_stream_quantified_redelivery(spark, turns_pd, tmp_path):
+    """Redelivered (at-least-once) tail rows must not re-extend or
+    re-emit: replay the last file's rows once more."""
+    pdf = _flush_pd(turns_pd)
+    ordered = pdf.sort_values("ts").reset_index(drop=True)
+    n = len(ordered)
+    in_dir = tmp_path / "qin_redeliver"
+    os.makedirs(in_dir)
+    # files: first 80% in 4 files, then the tail, then the tail AGAIN
+    cuts = np.array_split(np.arange(int(n * 0.8)), 4)
+    for i, idx in enumerate(cuts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    tailpart = ordered.iloc[int(n * 0.8):]
+    tailpart.to_parquet(in_dir / "b-0004.parquet", index=False)
+    tailpart.to_parquet(in_dir / "b-0005.parquet", index=False)
+
+    from dbus_spark.operators.cep import streaming_match_quantified
+
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_match_quantified(
+        src, QPATTERN, key="conv_id", order="turn_idx", sym="role",
+        n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qck_redeliver"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert not out.duplicated(["key", "start_order"]).any()
+    assert _quant_set(out) == _pd_quantified(turns_pd, QPATTERN)
+
+
+def test_stream_quantified_kill_resume(spark, turns_pd, tmp_path):
+    """Checkpoint kill/resume mid-replay: final match set unchanged."""
+    from dbus_spark.operators.cep import streaming_match_quantified
+
+    pdf = _flush_pd(turns_pd)
+    in_dir = tmp_path / "qin_kill"
+    os.makedirs(in_dir)
+    ordered = pdf.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), 8)
+    for i, idx in enumerate(parts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    sink_dir = tmp_path / "qsink"
+    os.makedirs(sink_dir)
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        v = streaming_match_quantified(
+            src, QPATTERN, key="conv_id", order="turn_idx", sym="role",
+            n_buckets=8, ttl_ms=86_400_000,
+        )
+
+        def sink(batch_df, epoch):
+            batch_df.write.mode("overwrite").parquet(
+                str(sink_dir / f"epoch={epoch}")
+            )
+
+        return (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "qck_kill"))
+            .foreachBatch(sink)
+            .start()
+        )
+
+    q = start()
+    import time as _t
+
+    for _ in range(600):
+        if len(os.listdir(sink_dir)) >= 3:
+            break
+        _t.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = (
+        spark.read.option("recursiveFileLookup", "false")
+        .parquet(str(sink_dir))
+        .toPandas()
+        .drop_duplicates(["key", "start_order", "end_order"])
+    )
+    assert _quant_set(out) == _pd_quantified(turns_pd, QPATTERN)
