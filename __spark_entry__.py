@@ -397,6 +397,24 @@ def _cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 8-gram overlap against a
+    deterministic benchmark set (the first 25 tokens of every 13th
+    document — a stand-in eval set that yields both fully and
+    partially contaminated docs).  Broadcast the benchmark's n-gram
+    set, one Arrow shingle pass over the corpus, one doc-keyed rollup
+    (operators/decontam.py::ngram_contamination)."""
+    from dbus_spark.operators.decontam import ngram_contamination
+    from dbus_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens("text"), 1, 25), " ").alias("text"),
+    )
+    return ngram_contamination(docs, bench, n=8)
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -854,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the _cc_ column rename this round, so its consumers need
         # round-current driver rows
         "emb_neardup_groups": _emb_neardup_groups,
+        "doc_decontam": _doc_decontam,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -1360,6 +1379,23 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "AND s1 = 'click' AND l1 >= 1 "
             "AND s2 = 'purchase' AND l2 >= 1 "
             "AND e_ets <= sts + INTERVAL 24 HOUR"
+        ),
+        "doc_decontam": (
+            # benchmark = first 25 tokens of every 13th doc; a doc's
+            # contamination = share of its distinct 8-grams found
+            # anywhere in the benchmark's distinct 8-gram set
+            f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+7], ' ') "
+            "    for i in range(1, len(toks) - 6)]) AS shingles FROM tk), "
+            "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            "bt AS (SELECT toks[1:25] AS toks FROM tk WHERE doc_id % 13 = 0), "
+            "bs AS (SELECT DISTINCT unnest("
+            "  [array_to_string(toks[i:i+7], ' ') "
+            "    for i in range(1, len(toks) - 6)]) AS s FROM bt) "
+            "SELECT ex.doc_id, COUNT(*) AS n_ngrams, COUNT(bs.s) AS n_hit, "
+            "ROUND(COUNT(bs.s) * 1.0 / COUNT(*), 4) AS contam_frac "
+            "FROM ex LEFT JOIN bs ON ex.s = bs.s GROUP BY ex.doc_id"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "
