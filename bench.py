@@ -58,6 +58,7 @@ BATCH_QUERIES = [
     "doc_lsh_pairs",
     "doc_lsh_est_jaccard",
     "doc_neardup_groups",
+    "doc_decontam",
     "corpus_idf",
     "doc_tfidf_topk",
     "doc_simhash",
@@ -346,6 +347,107 @@ def run_cep_streaming(spark, n_convs: int) -> dict:
             "rows": len(pdf),
             "matches": len(stream_set),
             "turns_per_sec": round(len(pdf) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_cep_quant_streaming(spark, n_convs: int) -> dict:
+    """Streaming quantified (Kleene) CEP: user{1,2} assistant{1,}
+    tool{1,1} under maximal-run semantics, contracted run-tail state
+    (O(L) rows per key even for unbounded quantifiers).  A per-conv
+    END sentinel closes every final run so the stream's match set is
+    checked EQUAL to the batch twin's in-run."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.datagen import generate_transcripts
+    from dbus_spark.operators.cep import (
+        match_quantified,
+        streaming_match_quantified,
+    )
+
+    PAT = [("user", 1, 2), ("assistant", 1, None), ("tool", 1, 1)]
+    work = tempfile.mkdtemp(prefix="dbus_bench_cepq_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        pdf = (
+            pdf.sort_values(["conv_id", "turn_idx", "ts"])
+            .drop_duplicates(["conv_id", "turn_idx"])
+            .sort_values("ts")
+            .reset_index(drop=True)[["conv_id", "turn_idx", "role", "ts"]]
+        )
+        last = pdf.sort_values("turn_idx").groupby("conv_id").tail(1)
+        flush = last.assign(
+            turn_idx=last["turn_idx"] + 1,
+            role="END",
+            ts=last["ts"] + pd.Timedelta(seconds=1),
+        )
+        fed = (
+            pd.concat([pdf, flush], ignore_index=True)
+            .sort_values(["ts", "conv_id"])
+            .reset_index(drop=True)
+        )
+        fed["ts"] = fed["ts"].astype("datetime64[us]")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(fed)), 8)):
+            fed.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"), index=False
+            )
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_match_quantified(
+            src, PAT, key="conv_id", order="turn_idx", sym="role",
+            n_buckets=32, ttl_ms=86_400_000,
+        )
+        got: list = []
+
+        def drain(batch_df, _epoch):
+            got.append(
+                batch_df.select("key", "start_order", "end_order").toPandas()
+            )
+
+        t0 = time.time()
+        q = (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(drain)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        out = pd.concat(got, ignore_index=True)
+        stream_set = {
+            (r.key, r.start_order, r.end_order)
+            for r in out.itertuples(index=False)
+        }
+        batch_set = {
+            (r["conv_id"], r["start_turn_idx"], r["end_turn_idx"])
+            for r in match_quantified(
+                spark.createDataFrame(pdf),
+                PAT,
+                key="conv_id",
+                order="turn_idx",
+                sym="role",
+            ).collect()
+        }
+        assert stream_set == batch_set, (
+            f"quantified CEP stream/batch divergence: {len(stream_set)} "
+            f"vs {len(batch_set)} matches"
+        )
+        return {
+            "sec": round(wall, 3),
+            "rows": len(fed),
+            "matches": len(stream_set),
+            "turns_per_sec": round(len(fed) / wall, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -747,6 +849,13 @@ def main() -> None:
     cep = min(cruns, key=lambda r: r["sec"])
     cep["walls_sec"] = [r["sec"] for r in cruns]
     queries["streaming_cep"] = cep["sec"]
+    qruns = [
+        run_cep_quant_streaming(spark, STREAM_TURNS_CONVS)
+        for _ in range(repeats)
+    ]
+    cepq = min(qruns, key=lambda r: r["sec"])
+    cepq["walls_sec"] = [r["sec"] for r in qruns]
+    queries["streaming_cep_quantified"] = cepq["sec"]
     fruns = [run_fused_streaming(spark) for _ in range(repeats)]
     fused = min(fruns, key=lambda r: r["sec"])
     fused["walls_sec"] = [r["sec"] for r in fruns]
@@ -765,6 +874,7 @@ def main() -> None:
         "streaming_doc_ingest": doc_ingest,
         "streaming_neardup_ingest": nd_ingest,
         "streaming_cep": cep,
+        "streaming_cep_quantified": cepq,
         "streaming_fused": fused,
         "dryrun_route": dryrun,
         "cpus": cpus,
