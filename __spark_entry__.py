@@ -415,6 +415,88 @@ def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, n=8)
 
 
+_MIX_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.75}  # fr → default 0
+
+
+def _doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: down-sample the
+    corpus to per-language target rates with an md5-derived per-doc
+    draw (reproducible on any engine/cluster), then report achieved
+    vs source mixture.  Map-side filter, stratum-sized shuffle only
+    (operators/corpus.py::sample_mixture/mixture_report)."""
+    from dbus_spark.operators.corpus import mixture_report, sample_mixture
+
+    docs = _docs(spark, sf_dir)
+    kept = sample_mixture(docs, _MIX_RATES, strata_col="lang", seed=7)
+    return mixture_report(docs, kept, strata_col="lang")
+
+
+def _doc_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (budget=64 so the corpus,
+    10-99 tokens/doc, exercises both multi-doc packs and the
+    oversized-doc-packs-alone path), rolled up per pack.  Python sees
+    only int64 token counts; the only shuffle is the shard groupBy
+    (operators/corpus.py::pack_sequences/pack_report)."""
+    from dbus_spark.operators.corpus import pack_report, pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, budget=64, n_shards=8)
+    return pack_report(packed, budget=64)
+
+
+def _doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: inject deterministic synthetic PII (the corpus has
+    none) — an email, an IP, a phone per doc, a card every 5th doc —
+    then count hits per type in redaction order and return the
+    redacted text.  Pure Catalyst regexp chain, zero shuffle
+    (operators/corpus.py::pii_counts/redact_pii)."""
+    from dbus_spark.operators.corpus import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            F.pmod("doc_id", F.lit(256)).cast("string"),
+            F.lit(".7 call 415-555-"),
+            F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" card 4111 1111 1111 1111")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counted = pii_counts(injected)
+    return redact_pii(counted, out_col="text_redacted").select(
+        "doc_id", "n_email", "n_card", "n_phone", "n_ipv4", "text_redacted"
+    )
+
+
+def _doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (Dolma/RefinedWeb
+    pass): re-chunk each doc into 12-token paragraphs (the corpus has
+    no newlines), keep only each distinct paragraph's first
+    occurrence by (doc_id, position), reassemble survivors in order.
+    posexplode → one span-keyed window → one doc-keyed reassembly
+    (operators/corpus.py::dedup_spans)."""
+    from dbus_spark.operators.corpus import dedup_spans
+    from dbus_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12)),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return dedup_spans(chunked, delim="\n\n", out_col="text_dedup")
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -873,6 +955,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-current driver rows
         "emb_neardup_groups": _emb_neardup_groups,
         "doc_decontam": _doc_decontam,
+        # --- new round 5 (second batch): corpus-curation ops — in the
+        # checked head so CORRECTNESS_r05 covers them
+        "doc_sample_mixture": _doc_sample_mixture,
+        "doc_pack_report": _doc_pack_report,
+        "doc_pii_redact": _doc_pii_redact,
+        "doc_paragraph_dedup": _doc_paragraph_dedup,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -1396,6 +1484,98 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "SELECT ex.doc_id, COUNT(*) AS n_ngrams, COUNT(bs.s) AS n_hit, "
             "ROUND(COUNT(bs.s) * 1.0 / COUNT(*), 4) AS contam_frac "
             "FROM ex LEFT JOIN bs ON ex.s = bs.s GROUP BY ex.doc_id"
+        ),
+        "doc_sample_mixture": (
+            # md5-derived uniform draw vs per-lang hex thresholds —
+            # byte-identical in Spark and DuckDB (corpus.py thresholds:
+            # en .5, de 1.0, es .25, zh .75, default 0)
+            "WITH k AS (SELECT lang FROM documents WHERE "
+            "  substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) < "
+            "  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g' "
+            "    WHEN 'es' THEN '40000000' WHEN 'zh' THEN 'c0000000' "
+            "    ELSE '00000000' END), "
+            "s AS (SELECT lang, COUNT(*) AS n_source FROM documents "
+            "  GROUP BY lang), "
+            "kk AS (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY lang) "
+            "SELECT s.lang AS lang, s.n_source, "
+            "COALESCE(kk.n_kept, 0) AS n_kept, "
+            "ROUND(COALESCE(kk.n_kept, 0) * 1.0 / s.n_source, 4) "
+            "  AS keep_rate "
+            "FROM s LEFT JOIN kk ON s.lang = kk.lang"
+        ),
+        "doc_pack_report": (
+            # greedy next-fit packing replayed as a recursive CTE:
+            # shard = id % 8, id order, join pack iff acc + t <= 64
+            f"WITH RECURSIVE tk AS (SELECT doc_id, "
+            f"  CAST(doc_id % 8 AS INT) AS shard, len({_TOKS}) AS t "
+            "  FROM documents), "
+            "o AS (SELECT *, row_number() OVER (PARTITION BY shard "
+            "  ORDER BY doc_id) AS rn FROM tk), "
+            "p AS ("
+            "  SELECT shard, rn, t, t AS acc, CAST(0 AS BIGINT) AS pack_id "
+            "  FROM o WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT o.shard, o.rn, o.t, "
+            "  CASE WHEN p.acc + o.t <= 64 THEN p.acc + o.t ELSE o.t END, "
+            "  CASE WHEN p.acc + o.t <= 64 THEN p.pack_id "
+            "    ELSE p.pack_id + 1 END "
+            "  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1) "
+            "SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(t) AS BIGINT) AS pack_tokens, "
+            "ROUND(SUM(t) * 1.0 / 64, 4) AS fill_frac "
+            "FROM p GROUP BY shard, pack_id"
+        ),
+        "doc_pii_redact": (
+            # same injected PII, counted in redaction order (each count
+            # on the text with earlier patterns already replaced)
+            "WITH inj AS (SELECT doc_id, text || ' contact user' || "
+            "  CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || "
+            "  CAST(doc_id % 256 AS VARCHAR) || '.7 call 415-555-' || "
+            "  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "  CASE WHEN doc_id % 5 = 0 "
+            "    THEN ' card 4111 1111 1111 1111' ELSE '' END AS t "
+            "  FROM documents), "
+            "c1 AS (SELECT doc_id, len(regexp_extract_all(t, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "  AS n_email, regexp_replace(t, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "  '<EMAIL>', 'g') AS t FROM inj), "
+            "c2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, "
+            "  '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_card, "
+            "  regexp_replace(t, "
+            "  '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', "
+            "  '<CARD>', 'g') AS t FROM c1), "
+            "c3 AS (SELECT doc_id, n_email, n_card, "
+            "  len(regexp_extract_all(t, "
+            "  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone, "
+            "  regexp_replace(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', "
+            "  '<PHONE>', 'g') AS t FROM c2) "
+            "SELECT doc_id, n_email, n_card, n_phone, "
+            "len(regexp_extract_all(t, "
+            "  '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) "
+            "  AS n_ipv4, "
+            "regexp_replace(t, "
+            "  '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', "
+            "  '<IP>', 'g') AS text_redacted FROM c3"
+        ),
+        "doc_paragraph_dedup": (
+            # 12-token re-chunk, keep each distinct paragraph's first
+            # (doc_id, pos) occurrence, reassemble survivors in order
+            f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "ch AS (SELECT doc_id, [{'pos': i, 'span': "
+            "  array_to_string(toks[i*12+1:i*12+12], ' ')} "
+            "  for i in range(0, CAST(ceil(len(toks)/12.0) AS BIGINT))] "
+            "  AS paras FROM tk), "
+            "ex AS (SELECT doc_id, unnest(paras, recursive := true) "
+            "  FROM ch), "
+            "rk AS (SELECT doc_id, pos, span, row_number() OVER "
+            "  (PARTITION BY span ORDER BY doc_id, pos) AS r FROM ex) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+            "CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS n_kept, "
+            "COALESCE(string_agg(CASE WHEN r = 1 THEN span END, e'\\n\\n' "
+            "  ORDER BY pos), '') AS text_dedup "
+            "FROM rk GROUP BY doc_id"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

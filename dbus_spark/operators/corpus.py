@@ -1,0 +1,344 @@
+"""Corpus curation operators — mixture sampling, sequence packing,
+PII redaction, span-level exact dedup.
+
+The last mile of an LLM training-data pipeline, downstream of the
+dedup/quality ladder (`operators/dedup.py`, `operators/text.py`):
+decide HOW MUCH of each stratum to keep, scrub what must not be
+trained on, drop repeated spans inside surviving documents, and pack
+the result into fixed-token-budget training sequences.  The reference
+engine (funkygao/dbus) has no analog for any of these — its pipeline
+stops at route-and-deliver (`pipeline/router.go`); this module is
+target-scope for the survey's §6 training-data extensions.
+
+Scale notes (100 TB corpus):
+
+- :func:`sample_mixture` is a map-side filter — zero shuffle.  The
+  keep/drop decision is a pure function of (id, seed, stratum), so it
+  is reproducible across engines, retries and re-runs, and the same
+  row set survives on any cluster size.
+- :func:`pack_sequences` shards the corpus first (map-side), then
+  packs each shard independently — the only shuffle is the groupBy on
+  the shard key, and the Python side of `applyInPandas` sees ONLY
+  int64 token counts (never the text), so a shard's state is a few MB
+  even when its documents are gigabytes.
+- :func:`redact_pii` is pure Catalyst `regexp_replace` — codegen'd,
+  map-side, streams through.
+- :func:`dedup_spans` is the Dolma/RefinedWeb paragraph-dedup shape:
+  explode spans, ONE window shuffle keyed by the span hash to pick
+  each span's first occurrence, one groupBy to reassemble.  Shuffle
+  volume is span-count-sized; the span payload rides the shuffle only
+  once (the reassembly carries kept spans only).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_mixture",
+    "mixture_report",
+    "pack_sequences",
+    "pack_report",
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_counts",
+    "dedup_spans",
+]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified mixture sampling
+# ---------------------------------------------------------------------------
+
+_HEX_SPACE = 16 ** 8  # first 8 hex chars of md5 → uniform 32-bit draw
+
+
+def _rate_threshold(rate: float) -> str:
+    """Keep-threshold as an 8-hex-char string: a row survives iff its
+    md5-derived draw sorts strictly below it.  rate>=1 keeps all rows
+    ('g' > every hex char)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0" * 8
+    return format(int(rate * _HEX_SPACE), "08x")
+
+
+def _draw(id_col: str, seed: int) -> Column:
+    """The per-row uniform draw: first 8 hex chars of
+    md5('<id>:<seed>').  md5 of the same bytes is identical in every
+    engine (Spark, DuckDB, Python hashlib), which makes the sample
+    reproducible anywhere — the property that matters when a 100 TB
+    sampling decision must be re-derivable months later.  At pure
+    production scale xxhash64 would be ~5x cheaper per row; md5 is the
+    cross-engine-checkable default and still map-side codegen."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        1,
+        8,
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified down-sampling to target mixture rates.
+
+    ``rates`` maps stratum value → keep fraction.  Every row gets a
+    uniform draw that is a pure function of (id, seed); it survives iff
+    the draw falls under its stratum's rate.  Strata absent from
+    ``rates`` use ``default_rate`` (drop, by default).
+
+    Zero shuffle, zero state: the filter is a codegen'd predicate, so
+    Parquet row groups whose strata are all dropped never leave the
+    scan when ``strata_col`` is a partition column.
+    """
+    thr = F.lit(_rate_threshold(default_rate))
+    for stratum, rate in rates.items():
+        thr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(_rate_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(_draw(id_col, seed) < thr)
+
+
+def mixture_report(
+    df: DataFrame,
+    sampled: DataFrame,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Achieved-vs-source mixture: per stratum, source rows, kept rows
+    and the realized keep rate (4 dp).  Two count-aggregations joined
+    on the stratum key — both map-side-combined, stratum-cardinality
+    shuffle only."""
+    src = df.groupBy(strata_col).agg(F.count("*").alias("n_source"))
+    kept = sampled.groupBy(strata_col).agg(F.count("*").alias("n_kept"))
+    return (
+        src.join(kept, on=strata_col, how="left")
+        .select(
+            strata_col,
+            "n_source",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_source"), 4).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget bin packing for training batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str | Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign each document to a
+    training pack of at most ``budget`` tokens.
+
+    Deterministic contract (the one a recursive-SQL oracle can
+    replay): shard = ``id % n_shards``; within a shard documents are
+    taken in ``id`` order and a document joins the current pack iff
+    the pack's running token total stays <= budget, else it OPENS a
+    new pack — so a document longer than the budget occupies an
+    oversized pack alone.  Output: ``(id, shard, pack_id, n_tokens)``
+    with ``pack_id`` dense per shard from 0.
+
+    Scale shape: the token count is computed Catalyst-side BEFORE the
+    shuffle, so `applyInPandas` groups carry (id, n_tokens) int64
+    pairs only — a 100 TB corpus at ~1 KB/doc is ~10^11 docs, 1.6 GB
+    of longs per 1000th shard; `n_shards` is the knob that sizes
+    that.  Inside a shard the boundary scan is cumsum + repeated
+    searchsorted — O(n_packs · log n) numpy, no per-row Python.
+    Production would hash-shard (`xxhash64(id) % n`) to break id
+    locality; modulo is the oracle-replayable default and identical
+    in distribution for dense synthetic ids.
+    """
+    from dbus_spark.operators.text import token_count
+
+    if tokens_col is None:
+        tokens_col = token_count(text_col)
+    elif isinstance(tokens_col, str):
+        tokens_col = F.col(tokens_col)
+    slim = df.select(
+        F.col(id_col).alias("_pk_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        tokens_col.cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_pk_id").reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        cs = np.cumsum(t)
+        pack = np.empty(len(t), dtype=np.int64)
+        start, pid = 0, 0
+        while start < len(t):
+            base = cs[start - 1] if start > 0 else 0
+            # last index whose running total (since pack start) fits
+            j = int(np.searchsorted(cs, base + budget, side="right")) - 1
+            j = max(j, start)  # an oversized doc packs alone
+            pack[start : j + 1] = pid
+            pid += 1
+            start = j + 1
+        return pd.DataFrame(
+            {
+                "_pk_id": pdf["_pk_id"],
+                "shard": pdf["shard"],
+                "pack_id": pack,
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    out_schema = "_pk_id long, shard int, pack_id long, n_tokens long"
+    packed = slim.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+    return packed.withColumnRenamed("_pk_id", id_col)
+
+
+def pack_report(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack rollup: docs, token total, fill fraction (4 dp).
+    One stratum-sized aggregation over the packing output."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Order matters: the card pattern must run before phones (a 16-digit
+# card contains phone-shaped substrings).  Patterns stay inside the
+# regex subset that Java (Spark) and RE2 (DuckDB) evaluate identically:
+# character classes, bounded repeats, alternation — no lookaround, no
+# backreferences.
+PII_PATTERNS: Sequence[tuple[str, str, str]] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Replace PII spans with typed placeholders.
+
+    A chain of Catalyst ``regexp_replace`` calls — whole-stage
+    codegen, map-side, no Python.  ``patterns`` is ordered; each entry
+    is (name, regex, replacement).
+    """
+    out_col = out_col or text_col
+    c: Column = F.col(text_col)
+    for _name, pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Per-row PII hit counts, one ``n_<name>`` column per pattern.
+    Counts are taken in the same order as redaction WOULD apply, each
+    on the text with earlier patterns already redacted — so a card
+    never double-counts as two phones, matching what
+    :func:`redact_pii` actually removes."""
+    out = df
+    cur: Column = F.col(text_col)
+    for name, pat, repl in patterns:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Span-level (paragraph) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n\n",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-wide span-level exact dedup (the Dolma / RefinedWeb
+    "paragraph dedup" pass): split every document on ``delim``, keep
+    only each distinct span's FIRST occurrence — first by ``id``, then
+    by position within the document — and reassemble the survivors in
+    original order.
+
+    Output: ``(id, n_spans, n_kept, out_col)``; documents whose spans
+    were all seen before come back with ``n_kept = 0`` and an empty
+    string (dropping them is the caller's policy).
+
+    Plan shape: posexplode (map-side) → ONE window shuffle partitioned
+    by the span text to rank occurrences → groupBy(id) to reassemble.
+    At 100 TB the window key would be ``xxhash64(span)`` with the span
+    payload reduced to (id, pos) on the ranking side and re-joined —
+    same two shuffles, hash-sized; the literal-key form below is the
+    oracle-checkable one and identical short of a hash collision.
+    ``delim`` is a literal, not a regex (split uses its quoted form),
+    so windows-newline corpora pass ``'\\r\\n\\r\\n'`` explicitly.
+    """
+    import re
+
+    spans = df.select(
+        F.col(id_col).alias("_sp_id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
+            "pos", "span"
+        ),
+    )
+    w = Window.partitionBy("span").orderBy("_sp_id", "pos")
+    ranked = spans.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("_sp_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rk") == 1,
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("span").alias("span"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                delim,
+            ).alias(out_col),
+        )
+        .withColumnRenamed("_sp_id", id_col)
+    )

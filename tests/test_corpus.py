@@ -1,0 +1,173 @@
+"""Unit tests for the corpus-curation operators (mixture sampling,
+sequence packing, PII redaction, span dedup)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dbus_spark.operators.corpus import (
+    PII_PATTERNS,
+    dedup_spans,
+    mixture_report,
+    pack_report,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+    sample_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} body " + " ".join(f"w{i}_{j}" for j in range(i % 7)),
+         ["en", "de", "fr"][i % 3])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+# ---------------------------------------------------------------- mixture
+
+def test_sample_mixture_deterministic_and_stratified(docs):
+    rates = {"en": 0.5, "de": 1.0}
+    a = sample_mixture(docs, rates, seed=3)
+    b = sample_mixture(docs, rates, seed=3)
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # pure function of (id, seed)
+    rep = {
+        r.lang: r
+        for r in mixture_report(docs, a).collect()
+    }
+    assert rep["de"].n_kept == rep["de"].n_source  # rate 1.0 keeps all
+    assert rep["fr"].n_kept == 0  # absent stratum -> default drop
+    # rate 0.5 keeps roughly half (uniform draw; 100 docs/stratum)
+    assert 0.3 <= rep["en"].keep_rate <= 0.7
+
+
+def test_sample_mixture_matches_python_md5(docs):
+    """The keep decision replays exactly from hashlib — the
+    cross-engine reproducibility contract."""
+    kept = {
+        r.doc_id
+        for r in sample_mixture(docs, {"en": 0.5}, seed=3)
+        .select("doc_id")
+        .collect()
+    }
+    for i in range(0, 300, 3):  # lang == 'en'
+        draw = hashlib.md5(f"{i}:3".encode()).hexdigest()[:8]
+        assert (i in kept) == (draw < "80000000")
+
+
+def test_sample_mixture_no_shuffle(docs):
+    plan = sample_mixture(docs, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side filter only
+
+
+# ---------------------------------------------------------------- packing
+
+def _naive_greedy(tokens, budget):
+    packs, acc, pid = [], None, -1
+    for t in tokens:
+        if acc is None or acc + t > budget:
+            pid += 1
+            acc = t
+        else:
+            acc += t
+        packs.append(pid)
+    return packs
+
+
+def test_pack_sequences_matches_naive_greedy(spark):
+    toks = [10, 20, 30, 64, 5, 99, 1, 1, 62, 2, 3]  # 99 > budget: packs alone
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long")
+    got = (
+        pack_sequences(df, budget=64, n_shards=1, tokens_col="n_toks")
+        .orderBy("doc_id")
+        .collect()
+    )
+    expect = _naive_greedy(toks, 64)
+    assert [r.pack_id for r in got] == expect
+    assert [r.n_tokens for r in got] == toks
+    # the oversized doc occupies a pack alone
+    big_pack = got[5].pack_id
+    assert sum(1 for r in got if r.pack_id == big_pack) == 1
+
+
+def test_pack_exact_fit_uses_le(spark):
+    df = spark.createDataFrame([(0, 32), (1, 32), (2, 1)], "doc_id long, n_toks long")
+    got = pack_sequences(df, budget=64, n_shards=1, tokens_col="n_toks").orderBy("doc_id").collect()
+    assert [r.pack_id for r in got] == [0, 0, 1]  # 32+32 == budget fits
+
+
+def test_pack_report_rollup(spark):
+    df = spark.createDataFrame([(i, 16) for i in range(8)], "doc_id long, n_toks long")
+    rep = pack_report(
+        pack_sequences(df, budget=64, n_shards=2, tokens_col="n_toks"), budget=64
+    ).collect()
+    # 4 docs per shard (ids alternate), each shard = one full pack
+    assert {(r.shard, r.pack_id, r.n_docs, r.pack_tokens, r.fill_frac) for r in rep} == {
+        (0, 0, 4, 64, 1.0),
+        (1, 0, 4, 64, 1.0),
+    }
+
+
+# ---------------------------------------------------------------- PII
+
+def test_redact_pii_golden(spark):
+    raw = (
+        "mail a.smith+x@my-site.co.uk card 4111 1111 1111 1111 "
+        "call 415-555-0199 host 10.0.42.7 end"
+    )
+    df = spark.createDataFrame([(raw,)], "text string")
+    out = redact_pii(df).collect()[0].text
+    assert out == "mail <EMAIL> card <CARD> call <PHONE> host <IP> end"
+
+
+def test_pii_counts_card_not_double_counted_as_phone(spark):
+    df = spark.createDataFrame(
+        [("pay 4111-1111-1111-1111 or 415-555-0199",)], "text string"
+    )
+    r = pii_counts(df).collect()[0]
+    assert (r.n_email, r.n_card, r.n_phone, r.n_ipv4) == (0, 1, 1, 0)
+
+
+def test_redact_pii_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- spans
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\n\nbeta"),
+            (1, "beta\n\ngamma\n\nalpha"),
+            (2, "beta\n\nalpha"),  # nothing new survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df).collect()}
+    assert (out[0].n_spans, out[0].n_kept, out[0].text_dedup) == (2, 2, "alpha\n\nbeta")
+    assert (out[1].n_spans, out[1].n_kept, out[1].text_dedup) == (3, 1, "gamma")
+    assert (out[2].n_spans, out[2].n_kept, out[2].text_dedup) == (2, 0, "")
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    df = spark.createDataFrame([(5, "x\n\nx\n\nyy")], "doc_id long, text string")
+    r = dedup_spans(df).collect()[0]
+    # the doc's own repeat is deduped too; order of survivors preserved
+    assert (r.n_spans, r.n_kept, r.text_dedup) == (3, 2, "x\n\nyy")
+
+
+def test_dedup_spans_regex_metachar_delim(spark):
+    # delim is treated literally even when it is a regex metachar
+    df = spark.createDataFrame([(0, "a|b"), (1, "b|c")], "doc_id long, text string")
+    out = {r.doc_id: r.text_dedup for r in dedup_spans(df, delim="|").collect()}
+    assert out == {0: "a|b", 1: "c"}
