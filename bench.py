@@ -59,6 +59,10 @@ BATCH_QUERIES = [
     "doc_lsh_est_jaccard",
     "doc_neardup_groups",
     "doc_decontam",
+    "doc_sample_mixture",
+    "doc_pack_report",
+    "doc_pii_redact",
+    "doc_paragraph_dedup",
     "corpus_idf",
     "doc_tfidf_topk",
     "doc_simhash",
