@@ -444,6 +444,17 @@ def _doc_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_report(packed, budget=64)
 
 
+def _doc_pack_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense concat-and-chunk packing (docs span packs, zero padding
+    waste — the packed-pretraining-batch shape): one cumsum window per
+    shard, no recursion, no Python; one row per (doc, pack) slice
+    (operators/corpus.py::pack_sequences_dense)."""
+    from dbus_spark.operators.corpus import pack_sequences_dense
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences_dense(docs, budget=64, n_shards=8)
+
+
 def _doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: inject deterministic synthetic PII (the corpus has
     none) — an email, an IP, a phone per doc, a card every 5th doc —
@@ -959,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked head so CORRECTNESS_r05 covers them
         "doc_sample_mixture": _doc_sample_mixture,
         "doc_pack_report": _doc_pack_report,
+        "doc_pack_dense": _doc_pack_dense,
         "doc_pii_redact": _doc_pii_redact,
         "doc_paragraph_dedup": _doc_paragraph_dedup,
         "route_exact": _route_exact,
@@ -1524,6 +1536,24 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "CAST(SUM(t) AS BIGINT) AS pack_tokens, "
             "ROUND(SUM(t) * 1.0 / 64, 4) AS fill_frac "
             "FROM p GROUP BY shard, pack_id"
+        ),
+        "doc_pack_dense": (
+            # concat-and-chunk: pack of stream-token k = floor(k/64);
+            # a doc spans floor(start/64)..floor((start+t-1)/64)
+            f"WITH tk AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, "
+            f"  len({_TOKS}) AS t FROM documents), "
+            "b AS (SELECT doc_id, shard, t, COALESCE(CAST(SUM(t) OVER "
+            "  (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "  PRECEDING AND CURRENT ROW) AS BIGINT) - t, 0) AS s FROM tk), "
+            "e AS (SELECT doc_id, shard, t, s, unnest(range("
+            "  CAST(floor(s/64.0) AS BIGINT), greatest("
+            "  CAST(floor(s/64.0) AS BIGINT), "
+            "  CAST(floor((s+t-1)/64.0) AS BIGINT)) + 1)) AS pack_id "
+            "  FROM b) "
+            "SELECT doc_id, shard, pack_id, "
+            "greatest(0, pack_id*64 - s) AS slice_start, "
+            "least(t, (pack_id+1)*64 - s) - greatest(0, pack_id*64 - s) "
+            "  AS slice_len, t AS n_tokens FROM e"
         ),
         "doc_pii_redact": (
             # same injected PII, counted in redaction order (each count

@@ -61,6 +61,7 @@ BATCH_QUERIES = [
     "doc_decontam",
     "doc_sample_mixture",
     "doc_pack_report",
+    "doc_pack_dense",
     "doc_pii_redact",
     "doc_paragraph_dedup",
     "corpus_idf",

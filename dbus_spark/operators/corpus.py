@@ -41,6 +41,7 @@ __all__ = [
     "sample_mixture",
     "mixture_report",
     "pack_sequences",
+    "pack_sequences_dense",
     "pack_report",
     "PII_PATTERNS",
     "redact_pii",
@@ -210,6 +211,70 @@ def pack_sequences(
     return packed.withColumnRenamed("_pk_id", id_col)
 
 
+def pack_sequences_dense(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str | Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dense (concat-and-chunk) sequence packing: per shard, documents
+    in ``id`` order form ONE token stream cut every ``budget`` tokens;
+    a document spans every pack its token range touches — zero padding
+    waste, the packed-pretraining-batch shape (documents separated by
+    EOS and sliced into fixed-length rows).
+
+    Output: one row per (document, pack) slice —
+    ``(id, shard, pack_id, slice_start, slice_len, n_tokens)`` where
+    ``slice_start`` is the offset INSIDE the document and pack_id =
+    floor(stream_offset / budget).  Unlike :func:`pack_sequences`
+    there is no greedy state: the mapping is pure cumsum arithmetic,
+    so it runs as ONE window over the shard (no recursion, no Python)
+    and an oracle can replay it with the same window in SQL.
+    """
+    from dbus_spark.operators.text import token_count
+
+    if tokens_col is None:
+        tokens_col = token_count(text_col)
+    elif isinstance(tokens_col, str):
+        tokens_col = F.col(tokens_col)
+    slim = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        tokens_col.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    base = slim.withColumn(
+        "_start",
+        F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)),
+    )
+    # packs touched: floor(start/b) .. floor((start+n-1)/b); empty docs
+    # (0 tokens) land wholly in floor(start/b) with slice_len 0
+    first = (F.col("_start") / budget).cast("long")
+    last = F.greatest(
+        first, ((F.col("_start") + F.col("n_tokens") - 1) / budget).cast("long")
+    )
+    return (
+        base.withColumn("pack_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "slice_start",
+            F.greatest(F.lit(0), F.col("pack_id") * budget - F.col("_start")),
+        )
+        .withColumn(
+            "slice_len",
+            F.least(
+                F.col("n_tokens"),
+                (F.col("pack_id") + 1) * budget - F.col("_start"),
+            )
+            - F.col("slice_start"),
+        )
+        .select(
+            id_col, "shard", "pack_id", "slice_start", "slice_len", "n_tokens"
+        )
+    )
+
+
 def pack_report(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack rollup: docs, token total, fill fraction (4 dp).
     One stratum-sized aggregation over the packing output."""
@@ -287,6 +352,7 @@ def dedup_spans(
     text_col: str = "text",
     delim: str = "\n\n",
     out_col: str = "text_dedup",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Corpus-wide span-level exact dedup (the Dolma / RefinedWeb
     "paragraph dedup" pass): split every document on ``delim``, keep
@@ -300,10 +366,13 @@ def dedup_spans(
 
     Plan shape: posexplode (map-side) → ONE window shuffle partitioned
     by the span text to rank occurrences → groupBy(id) to reassemble.
-    At 100 TB the window key would be ``xxhash64(span)`` with the span
-    payload reduced to (id, pos) on the ranking side and re-joined —
-    same two shuffles, hash-sized; the literal-key form below is the
-    oracle-checkable one and identical short of a hash collision.
+    ``hash_key=True`` is the 100 TB arm: the ranking window runs over
+    ``xxhash64(span)`` with an (id, pos, hash)-only projection — the
+    rank shuffle carries 20 bytes/span instead of the paragraph text
+    (and never sorts on long strings) — then joins the verdict back on
+    (id, pos).  One extra hash-sized shuffle buys a text-free ranking
+    path; results are identical short of a 64-bit collision (pinned by
+    a test).  The literal-key default is the oracle-checkable form.
     ``delim`` is a literal, not a regex (split uses its quoted form),
     so windows-newline corpora pass ``'\\r\\n\\r\\n'`` explicitly.
     """
@@ -315,8 +384,17 @@ def dedup_spans(
             "pos", "span"
         ),
     )
-    w = Window.partitionBy("span").orderBy("_sp_id", "pos")
-    ranked = spans.withColumn("_rk", F.row_number().over(w))
+    if hash_key:
+        w = Window.partitionBy("_h").orderBy("_sp_id", "pos")
+        ranked_slim = (
+            spans.select("_sp_id", "pos", F.xxhash64("span").alias("_h"))
+            .withColumn("_rk", F.row_number().over(w))
+            .drop("_h")
+        )
+        ranked = spans.join(ranked_slim, on=["_sp_id", "pos"])
+    else:
+        w = Window.partitionBy("span").orderBy("_sp_id", "pos")
+        ranked = spans.withColumn("_rk", F.row_number().over(w))
     return (
         ranked.groupBy("_sp_id")
         .agg(

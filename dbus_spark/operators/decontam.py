@@ -21,7 +21,15 @@ it is doc-count-, not token-count-, sized.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# Java \s == [ \t\n\x0B\f\r]; Spark trim strips 0x20 only — keep
+# empty tokens exactly as Spark's split does (tab-edged text parity,
+# same contract as dedup.shingles_exploded_arrow)
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 from dbus_spark.operators.dedup import shingles_exploded_arrow
 
@@ -86,3 +94,75 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(flagged, on=id_col, how="left_anti")
+
+
+def collect_bench_ngrams(
+    benchmark, text_col: str = "text", n: int = 8
+) -> frozenset:
+    """Materialize the benchmark's distinct n-gram set on the driver.
+
+    Eval/benchmark sets are MB-scale by definition (the 100 TB side is
+    the corpus, never the benchmark), so collecting them is the point:
+    the returned frozenset ships to executors inside the streaming
+    filter's closure, the decontam analog of a broadcast join side.
+    Accepts a DataFrame or an iterable of strings; tokenization is the
+    same Java-whitespace-parity split the batch operator uses."""
+    if isinstance(benchmark, DataFrame):
+        texts = [r[0] for r in benchmark.select(text_col).collect()]
+    else:
+        texts = list(benchmark)
+    out = set()
+    for t in texts:
+        toks = _JAVA_WS_RE.split(t.strip(" "))
+        for i in range(len(toks) - n + 1):
+            out.add(" ".join(toks[i : i + n]))
+    return frozenset(out)
+
+
+def streaming_decontam_filter(
+    df: DataFrame,
+    bench_ngrams: frozenset,
+    text_col: str = "text",
+    n: int = 8,
+    max_frac: float = 0.0,
+) -> DataFrame:
+    """Streaming-safe decontamination: drop rows whose benchmark
+    n-gram overlap fraction exceeds ``max_frac``.
+
+    The batch operator's explode → broadcast-join → groupBy shape is a
+    streaming aggregation (disallowed mid-query in append mode), so
+    the streaming twin is MAP-SIDE: the benchmark n-gram set rides the
+    UDF closure (it is benchmark-sized, not corpus-sized) and each
+    Arrow batch tests its docs against it in-process — zero shuffle,
+    zero state, composes with any downstream stateful stage.  Rows
+    where the text yields no n-gram (shorter than ``n`` tokens) have
+    overlap 0 and pass, matching the batch operator (which emits no
+    row for them, so they can never exceed ``max_frac``).
+
+    Same verdict per doc as ``ngram_contamination(...)
+    .filter(contam_frac > max_frac)`` — pinned by a test."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bench = bench_ngrams  # closure capture; ships once per executor
+
+    @pandas_udf("boolean")
+    def _clean(texts: pd.Series) -> pd.Series:
+        flags = []
+        for t in texts:
+            if t is None:
+                flags.append(True)
+                continue
+            toks = _JAVA_WS_RE.split(t.strip(" "))
+            grams = {
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            }
+            if not grams:
+                flags.append(True)
+                continue
+            hits = len(grams & bench)
+            flags.append(hits / len(grams) <= max_frac)
+        return pd.Series(flags, dtype=bool)
+
+    return df.filter(_clean(F.col(text_col)))

@@ -62,3 +62,50 @@ def doc_ingest_stream(
     elif dedup:
         out = out.dropDuplicates(["fp"])
     return out
+
+
+def doc_policy_stage(
+    df: DataFrame,
+    bench_ngrams: "frozenset | None" = None,
+    ngram_n: int = 8,
+    max_contam_frac: float = 0.0,
+    mixture_rates: "dict[str, float] | None" = None,
+    strata_col: str = "lang",
+    sample_seed: int = 0,
+    default_rate: float = 0.0,
+    redact: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-policy stage: mixture sampling → benchmark decontam →
+    PII redaction, in that order (cheapest predicate first — the
+    codegen'd md5 sampling filter drops rows before the Arrow decontam
+    UDF ever sees them).
+
+    Every step is MAP-SIDE (zero shuffle, zero state), so the stage
+    composes identically into a batch job or ANYWHERE in a streaming
+    query — before the stateful dedup of :func:`doc_ingest_stream`,
+    after it, or standalone.  Pass only the knobs you want; the
+    default configuration is the identity transform.
+    """
+    from dbus_spark.operators.corpus import redact_pii, sample_mixture
+    from dbus_spark.operators.decontam import streaming_decontam_filter
+
+    out = df
+    if mixture_rates is not None:
+        out = sample_mixture(
+            out,
+            mixture_rates,
+            strata_col=strata_col,
+            id_col=id_col,
+            seed=sample_seed,
+            default_rate=default_rate,
+        )
+    if bench_ngrams is not None:
+        out = streaming_decontam_filter(
+            out, bench_ngrams, text_col=text_col, n=ngram_n,
+            max_frac=max_contam_frac,
+        )
+    if redact:
+        out = redact_pii(out, text_col=text_col)
+    return out

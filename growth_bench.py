@@ -63,6 +63,23 @@ def _time_best(df_fn, repeats: int) -> tuple[float, int]:
     return best, rows
 
 
+def _span_dedup_chunked(docs_df):
+    from pyspark.sql import functions as F
+
+    from dbus_spark.operators.corpus import dedup_spans
+    from dbus_spark.operators.text import tokens
+
+    toks = tokens("text")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12)),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    chunked = docs_df.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return dedup_spans(chunked, hash_key=True)
+
+
 def srp_planes(n: int) -> int:
     return max(4, round(math.log2(max(n, 2) / TARGET_BUCKET)))
 
@@ -102,6 +119,7 @@ def main() -> None:
         _noop(D.ngram_jaccard_pairs(spark.read.parquet(wdoc), max_df=50))
         _noop(D.winnow_match_pairs(spark.read.parquet(wdoc)))
         _noop(S.neardup_pairs_lsh(spark.read.parquet(wemb), dim=64))
+        _noop(_span_dedup_chunked(spark.read.parquet(wdoc)))
         print("[warm] done", file=sys.stderr)
 
         for n_docs in scales:
@@ -141,6 +159,11 @@ def main() -> None:
                     emb(), threshold=0.8, dim=64,
                     planes_per_table=planes,
                 ),
+                # span dedup: the only corpus-curation op with a
+                # corpus-sized shuffle (window keyed by the span hash);
+                # 12-token re-chunk mirrors the doc_paragraph_dedup
+                # query. hash_key=True is the 100 TB arm under test.
+                "doc_span_dedup": lambda: _span_dedup_chunked(docs()),
             }.items():
                 sec, rows = _time_best(fn, reps)
                 cell[name] = {"sec": round(sec, 3), "pairs": rows}
@@ -154,7 +177,8 @@ def main() -> None:
         lo, hi = str(scales[0]), str(scales[-1])
         exponents = {}
         for q in ("doc_lsh_pairs", "doc_jaccard_pairs",
-                  "doc_winnow_pairs", "emb_neardup_lsh"):
+                  "doc_winnow_pairs", "emb_neardup_lsh",
+                  "doc_span_dedup"):
             n_lo = results[lo]["n_docs" if q.startswith("doc") else "n_emb"]
             n_hi = results[hi]["n_docs" if q.startswith("doc") else "n_emb"]
             t_lo, t_hi = results[lo][q]["sec"], results[hi][q]["sec"]

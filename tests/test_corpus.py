@@ -171,3 +171,62 @@ def test_dedup_spans_regex_metachar_delim(spark):
     df = spark.createDataFrame([(0, "a|b"), (1, "b|c")], "doc_id long, text string")
     out = {r.doc_id: r.text_dedup for r in dedup_spans(df, delim="|").collect()}
     assert out == {0: "a|b", 1: "c"}
+
+
+def test_pack_dense_slices_cover_docs_exactly(spark):
+    toks = [10, 64, 100, 1, 63, 2]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_toks long"
+    )
+    from dbus_spark.operators.corpus import pack_sequences_dense
+
+    got = pack_sequences_dense(df, budget=64, n_shards=1, tokens_col="n_toks")
+    rows = sorted(
+        ((r.doc_id, r.pack_id, r.slice_start, r.slice_len) for r in got.collect())
+    )
+    # slices of each doc are contiguous, start at 0, sum to n_tokens
+    by_doc = {}
+    for d, p, s, l in rows:
+        by_doc.setdefault(d, []).append((p, s, l))
+    for d, sl in by_doc.items():
+        sl.sort()
+        assert sl[0][1] == 0
+        assert sum(x[2] for x in sl) == toks[d]
+        packs = [p for p, _, _ in sl]
+        assert packs == list(range(packs[0], packs[-1] + 1))
+    # every pack is exactly 64 tokens except the last
+    pack_tot = {}
+    for _, p, _, l in rows:
+        pack_tot[p] = pack_tot.get(p, 0) + l
+    last = max(pack_tot)
+    assert all(v == 64 for p, v in pack_tot.items() if p != last)
+    assert pack_tot[last] == sum(toks) - 64 * last
+
+
+def test_pack_dense_doc_spanning_three_packs(spark):
+    from dbus_spark.operators.corpus import pack_sequences_dense
+
+    df = spark.createDataFrame([(0, 10), (1, 150)], "doc_id long, n_toks long")
+    got = {
+        (r.pack_id, r.slice_start, r.slice_len)
+        for r in pack_sequences_dense(
+            df, budget=64, n_shards=1, tokens_col="n_toks"
+        ).filter("doc_id = 1").collect()
+    }
+    # doc 1 starts at stream offset 10: packs 0..2
+    assert got == {(0, 0, 54), (1, 54, 64), (2, 118, 32)}
+
+
+def test_dedup_spans_hash_key_arm_identical(spark):
+    rows = [
+        (0, "alpha\n\nbeta"),
+        (1, "beta\n\ngamma\n\nalpha"),
+        (2, "beta\n\nalpha"),
+        (3, "x\n\nx\n\nyy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = {(r.doc_id, r.n_spans, r.n_kept, r.text_dedup)
+           for r in dedup_spans(df).collect()}
+    hsh = {(r.doc_id, r.n_spans, r.n_kept, r.text_dedup)
+           for r in dedup_spans(df, hash_key=True).collect()}
+    assert lit == hsh

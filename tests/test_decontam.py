@@ -84,3 +84,100 @@ def test_benchmark_side_broadcasts(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -------------------------------------------------- streaming twin
+
+def test_streaming_filter_matches_batch_decontaminate(spark):
+    """Map-side streaming filter keeps exactly the docs the batch
+    anti-join keeps — incl. the sub-n-token doc (passes) and the
+    distinct-gram fraction semantics under max_frac."""
+    from dbus_spark.operators.decontam import (
+        collect_bench_ngrams,
+        streaming_decontam_filter,
+    )
+
+    docs, bench = _docs(spark), _bench(spark)
+    grams = collect_bench_ngrams(bench, n=3)
+    for max_frac in (0.0, 0.2):
+        batch_kept = {
+            r.doc_id
+            for r in decontaminate(docs, bench, n=3, max_frac=max_frac)
+            .select("doc_id")
+            .collect()
+        }
+        stream_kept = {
+            r.doc_id
+            for r in streaming_decontam_filter(
+                docs, grams, n=3, max_frac=max_frac
+            )
+            .select("doc_id")
+            .collect()
+        }
+        assert stream_kept == batch_kept, max_frac
+
+
+def test_streaming_filter_tokenization_parity(spark):
+    """Tab-edged text: Spark split keeps the leading empty token; the
+    closure tokenizer must match or the n-gram keys diverge."""
+    from dbus_spark.operators.decontam import (
+        collect_bench_ngrams,
+        streaming_decontam_filter,
+    )
+
+    hostile = "\tquick brown fox"
+    docs = spark.createDataFrame([(1, hostile)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, hostile)], "doc_id long, text string")
+    grams = collect_bench_ngrams(bench, n=3)
+    kept_stream = streaming_decontam_filter(docs, grams, n=3).count()
+    kept_batch = decontaminate(docs, bench, n=3).count()
+    assert kept_stream == kept_batch == 0  # both flag the identical text
+
+
+def test_policy_stage_streaming_equals_batch(spark, tmp_path):
+    """doc_policy_stage (mixture sample → decontam → PII redact) gives
+    the same surviving (id, text) set run as a real streaming query or
+    as one batch call — the zero-state composability contract."""
+    import os
+
+    from dbus_spark.operators.decontam import collect_bench_ngrams
+    from dbus_spark.pipeline.ingest import doc_policy_stage
+
+    rows = [
+        (i,
+         f"body w{i} mail u{i}@ex.com " + " ".join(f"t{i}_{j}" for j in range(6)),
+         ["en", "de"][i % 2])
+        for i in range(60)
+    ]
+    # make doc 7 contaminated vs the bench set
+    rows[7] = (7, "the quick brown fox jumps over the lazy dog today", "de")
+    pdf_dir = str(tmp_path / "in")
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs.repartition(3).write.parquet(pdf_dir)
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    grams = collect_bench_ngrams(bench, n=3)
+    kw = dict(bench_ngrams=grams, ngram_n=3,
+              mixture_rates={"en": 0.6, "de": 1.0}, sample_seed=5,
+              redact=True)
+
+    batch = {
+        (r.doc_id, r.text)
+        for r in doc_policy_stage(spark.read.parquet(pdf_dir), **kw).collect()
+    }
+    assert 7 not in {i for i, _ in batch}  # decontam dropped it
+    assert all("@" not in t for _, t in batch)  # emails redacted
+
+    got = []
+    src = (spark.readStream.schema("doc_id long, text string, lang string")
+           .option("maxFilesPerTrigger", 1).parquet(pdf_dir))
+    q = (doc_policy_stage(src, **kw)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.doc_id, r.text) for r in b.collect()))
+         .start())
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30)
+    assert set(got) == batch
