@@ -660,7 +660,9 @@ def run_fused_streaming(spark, n_convs: int = 2000) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> dict:
+def run_doc_ingest_streaming(
+    spark, sf_dir: str, target_rows: int = 200_000, policy: bool = False
+) -> dict:
     """LLM training-data ingest, streaming form: document stream →
     Arrow-vectorized quality/token/language enrichment → quality
     filter → streaming exact-dedup on the normalized fingerprint
@@ -668,7 +670,12 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
     The documents table is replicated to ``target_rows`` with fresh
     ids, so the dedup state sees a high-duplicate stream (every
     replica collapses onto one fingerprint) — the shape of a crawl
-    re-ingest."""
+    re-ingest.
+
+    ``policy=True`` fuses the corpus-policy stage in front (benchmark
+    decontam against an eval set built from every 13th source doc +
+    PII redaction) — both map-side, so the measurement isolates the
+    policy stage's marginal cost on the same stateful pipeline."""
     import numpy as np
     import pandas as pd
 
@@ -720,6 +727,16 @@ def run_doc_ingest_streaming(spark, sf_dir: str, target_rows: int = 200_000) -> 
         # the library vertical (one-pass Arrow enrich, xxhash64 state
         # key, watermark wider than the fixture's event-time span so
         # dedup is global) — see dbus_spark/pipeline/ingest.py
+        if policy:
+            from dbus_spark.operators.decontam import collect_bench_ngrams
+            from dbus_spark.pipeline.ingest import doc_policy_stage
+
+            bench_texts = [
+                " ".join(t.split()[:25])
+                for t in pdf.loc[pdf["doc_id"] % 13 == 0, "text"]
+            ]
+            grams = collect_bench_ngrams(bench_texts, n=8)
+            src = doc_policy_stage(src, bench_ngrams=grams, redact=True)
         cleaned = doc_ingest_stream(
             src, quality_min=0.3, watermark="2 hours"
         )
@@ -842,6 +859,13 @@ def main() -> None:
     doc_ingest = min(druns, key=lambda r: r["sec"])
     doc_ingest["walls_sec"] = [r["sec"] for r in druns]
     queries["streaming_doc_ingest"] = doc_ingest["sec"]
+    pruns = [
+        run_doc_ingest_streaming(spark, sf_dir, policy=True)
+        for _ in range(repeats)
+    ]
+    doc_ingest_pol = min(pruns, key=lambda r: r["sec"])
+    doc_ingest_pol["walls_sec"] = [r["sec"] for r in pruns]
+    queries["streaming_doc_ingest_policy"] = doc_ingest_pol["sec"]
     nruns = [
         run_neardup_ingest_streaming(spark, sf_dir) for _ in range(repeats)
     ]
@@ -877,6 +901,7 @@ def main() -> None:
         "streaming": stream,
         "streaming_ordered": ordered,
         "streaming_doc_ingest": doc_ingest,
+        "streaming_doc_ingest_policy": doc_ingest_pol,
         "streaming_neardup_ingest": nd_ingest,
         "streaming_cep": cep,
         "streaming_cep_quantified": cepq,
