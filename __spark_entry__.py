@@ -415,6 +415,36 @@ def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, n=8)
 
 
+def _doc_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (Dolma variant): re-chunk docs into
+    12-token paragraphs, excise only the paragraphs containing an
+    8-gram of the eval set (every 13th doc's first 25 tokens), keep
+    the rest.  Map-side — the benchmark n-gram set rides the Arrow
+    UDF closure (operators/decontam.py::excise_contaminated_spans)."""
+    from dbus_spark.operators.decontam import (
+        collect_bench_ngrams,
+        excise_contaminated_spans,
+    )
+    from dbus_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12)),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.array_join(F.slice(tokens("text"), 1, 25), " ").alias("text")
+    )
+    grams = collect_bench_ngrams(bench)
+    return excise_contaminated_spans(
+        chunked, grams, out_col="text_clean", n=8
+    ).select("doc_id", "n_spans", "n_excised", "text_clean")
+
+
 _MIX_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.75}  # fr → default 0
 
 
@@ -968,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": _doc_decontam,
         # --- new round 5 (second batch): corpus-curation ops — in the
         # checked head so CORRECTNESS_r05 covers them
+        "doc_decontam_excise": _doc_decontam_excise,
         "doc_sample_mixture": _doc_sample_mixture,
         "doc_pack_report": _doc_pack_report,
         "doc_pack_dense": _doc_pack_dense,
@@ -1496,6 +1527,38 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "SELECT ex.doc_id, COUNT(*) AS n_ngrams, COUNT(bs.s) AS n_hit, "
             "ROUND(COUNT(bs.s) * 1.0 / COUNT(*), 4) AS contam_frac "
             "FROM ex LEFT JOIN bs ON ex.s = bs.s GROUP BY ex.doc_id"
+        ),
+        "doc_decontam_excise": (
+            # 12-token re-chunk; a span is excised iff it shares an
+            # 8-gram with the eval set (every 13th doc's first 25
+            # tokens); spans tested independently, survivors rejoined
+            f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "ch AS (SELECT doc_id, [{'pos': i, 'span': "
+            "  array_to_string(toks[i*12+1:i*12+12], ' ')} "
+            "  for i in range(0, CAST(ceil(len(toks)/12.0) AS BIGINT))] "
+            "  AS paras FROM tk), "
+            "ex AS (SELECT doc_id, unnest(paras, recursive := true) "
+            "  FROM ch), "
+            "sg AS (SELECT doc_id, pos, span, "
+            "  regexp_split_to_array(trim(span), '\s+') AS stoks FROM ex), "
+            "bt AS (SELECT toks[1:25] AS btoks FROM tk "
+            "  WHERE doc_id % 13 = 0), "
+            "bs AS (SELECT DISTINCT unnest([array_to_string("
+            "  btoks[i:i+7], ' ') for i in range(1, len(btoks) - 6)]) "
+            "  AS g FROM bt), "
+            "sgr AS (SELECT doc_id, pos, span, "
+            "  [array_to_string(stoks[i:i+7], ' ') "
+            "    for i in range(1, len(stoks) - 6)] AS grams FROM sg), "
+            "bl AS (SELECT list(g) AS gl FROM bs), "
+            "dirty AS (SELECT doc_id, pos FROM sgr, bl WHERE len("
+            "  list_intersect(grams, bl.gl)) > 0) "
+            "SELECT g.doc_id, CAST(COUNT(*) AS INT) AS n_spans, "
+            "CAST(SUM(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) "
+            "  AS INT) AS n_excised, "
+            "COALESCE(string_agg(CASE WHEN d.pos IS NULL THEN g.span END, "
+            "  e'\n\n' ORDER BY g.pos), '') AS text_clean "
+            "FROM sgr g LEFT JOIN dirty d ON g.doc_id = d.doc_id "
+            "AND g.pos = d.pos GROUP BY g.doc_id"
         ),
         "doc_sample_mixture": (
             # md5-derived uniform draw vs per-lang hex thresholds —

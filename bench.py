@@ -59,6 +59,7 @@ BATCH_QUERIES = [
     "doc_lsh_est_jaccard",
     "doc_neardup_groups",
     "doc_decontam",
+    "doc_decontam_excise",
     "doc_sample_mixture",
     "doc_pack_report",
     "doc_pack_dense",

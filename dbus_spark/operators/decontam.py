@@ -166,3 +166,65 @@ def streaming_decontam_filter(
         return pd.Series(flags, dtype=bool)
 
     return df.filter(_clean(F.col(text_col)))
+
+
+def excise_contaminated_spans(
+    df: DataFrame,
+    bench_ngrams: frozenset,
+    text_col: str = "text",
+    out_col: str | None = None,
+    n: int = 8,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Span-level decontamination (the Dolma variant of the drop rule):
+    instead of discarding a whole document, remove only the
+    delim-separated spans that contain a benchmark n-gram and keep the
+    rest — plus ``n_spans``/``n_excised`` audit columns.
+
+    Map-side like :func:`streaming_decontam_filter` (the benchmark
+    set rides the closure), so it is streaming-safe and adds zero
+    shuffle; a span shorter than ``n`` tokens can never match and is
+    always kept.  Spans are tested INDEPENDENTLY: an n-gram straddling
+    a span boundary does not exist in either span, mirroring the batch
+    operator's per-span tokenization (spans are separate documents to
+    the n-gram protocol)."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or text_col
+    bench = bench_ngrams
+
+    @pandas_udf(
+        "struct<text: string, n_spans: int, n_excised: int>"
+    )
+    def _excise(texts: pd.Series) -> pd.DataFrame:
+        kept_texts, n_spans_l, n_exc_l = [], [], []
+        for t in texts:
+            if t is None:
+                kept_texts.append(None)
+                n_spans_l.append(0)
+                n_exc_l.append(0)
+                continue
+            spans = t.split(delim)
+            kept = []
+            for sp in spans:
+                toks = _JAVA_WS_RE.split(sp.strip(" "))
+                dirty = any(
+                    " ".join(toks[i : i + n]) in bench
+                    for i in range(len(toks) - n + 1)
+                )
+                if not dirty:
+                    kept.append(sp)
+            kept_texts.append(delim.join(kept))
+            n_spans_l.append(len(spans))
+            n_exc_l.append(len(spans) - len(kept))
+        return pd.DataFrame(
+            {"text": kept_texts, "n_spans": n_spans_l, "n_excised": n_exc_l}
+        )
+
+    tmp = df.withColumn("_ex", _excise(F.col(text_col)))
+    return (
+        tmp.withColumn(out_col, F.col("_ex.text"))
+        .withColumn("n_spans", F.col("_ex.n_spans"))
+        .withColumn("n_excised", F.col("_ex.n_excised"))
+        .drop("_ex")
+    )

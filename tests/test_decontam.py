@@ -181,3 +181,33 @@ def test_policy_stage_streaming_equals_batch(spark, tmp_path):
          .start())
     q.processAllAvailable(); q.stop(); q.awaitTermination(30)
     assert set(got) == batch
+
+
+def test_excise_contaminated_spans_golden(spark):
+    from dbus_spark.operators.decontam import (
+        collect_bench_ngrams,
+        excise_contaminated_spans,
+    )
+
+    grams = collect_bench_ngrams(["bad evil words"], n=3)
+    docs = spark.createDataFrame(
+        [
+            # middle span contaminated; neighbors survive
+            (0, "keep me one\n\nxx bad evil words yy\n\nkeep me two"),
+            # n-gram straddles a span boundary: exists in NEITHER span
+            (1, "tail is bad\n\nevil words head"),
+            # every span contaminated -> empty doc, audit counts say so
+            (2, "bad evil words\n\nso bad evil words here"),
+            # span shorter than n can never match
+            (3, "bad evil"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_excised, r.text)
+        for r in excise_contaminated_spans(docs, grams, n=3).collect()
+    }
+    assert out[0] == (3, 1, "keep me one\n\nkeep me two")
+    assert out[1] == (2, 0, "tail is bad\n\nevil words head")
+    assert out[2] == (2, 2, "")
+    assert out[3] == (1, 0, "bad evil")
