@@ -474,6 +474,21 @@ def _doc_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_report(packed, budget=64)
 
 
+def _doc_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per language, keep the longest
+    md5-draw-ordered prefix of docs whose token total fits the budget
+    (en 4000 / de 2000 / zh 1500 tokens; es+fr dropped) — mixtures are
+    specified in tokens, not doc counts, in real training configs
+    (operators/corpus.py::sample_token_budget)."""
+    from dbus_spark.operators.corpus import sample_token_budget
+
+    docs = _docs(spark, sf_dir)
+    kept = sample_token_budget(
+        docs, {"en": 4000, "de": 2000, "zh": 1500}, seed=7
+    )
+    return kept.select("doc_id", "lang")
+
+
 def _doc_pack_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense concat-and-chunk packing (docs span packs, zero padding
     waste — the packed-pretraining-batch shape): one cumsum window per
@@ -1002,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_mixture": _doc_sample_mixture,
         "doc_pack_report": _doc_pack_report,
         "doc_pack_dense": _doc_pack_dense,
+        "doc_sample_tokens": _doc_sample_tokens,
         "doc_pii_redact": _doc_pii_redact,
         "doc_paragraph_dedup": _doc_paragraph_dedup,
         "route_exact": _route_exact,
@@ -1599,6 +1615,20 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "CAST(SUM(t) AS BIGINT) AS pack_tokens, "
             "ROUND(SUM(t) * 1.0 / 64, 4) AS fill_frac "
             "FROM p GROUP BY shard, pack_id"
+        ),
+        "doc_sample_tokens": (
+            # longest draw-ordered prefix per lang whose cumsum fits
+            "WITH tk AS (SELECT doc_id, lang, "
+            "  len(regexp_split_to_array(trim(text), '\s+')) AS t, "
+            "  substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS d "
+            "  FROM documents), "
+            "b AS (SELECT *, CASE lang WHEN 'en' THEN 4000 "
+            "  WHEN 'de' THEN 2000 WHEN 'zh' THEN 1500 END AS bud FROM tk), "
+            "c AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY lang "
+            "  ORDER BY d, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "  CURRENT ROW) AS BIGINT) AS cum FROM b) "
+            "SELECT doc_id, lang FROM c "
+            "WHERE bud IS NOT NULL AND cum <= bud"
         ),
         "doc_pack_dense": (
             # concat-and-chunk: pack of stream-token k = floor(k/64);

@@ -61,6 +61,7 @@ BATCH_QUERIES = [
     "doc_decontam",
     "doc_decontam_excise",
     "doc_sample_mixture",
+    "doc_sample_tokens",
     "doc_pack_report",
     "doc_pack_dense",
     "doc_pii_redact",

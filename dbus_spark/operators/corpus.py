@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "sample_mixture",
+    "sample_token_budget",
     "mixture_report",
     "pack_sequences",
     "pack_sequences_dense",
@@ -131,6 +132,63 @@ def mixture_report(
                 "keep_rate"
             ),
         )
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str | Column | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum TOKEN-budget sampling: real training
+    mixtures are specified in tokens ("30B tokens of code, 5B of
+    math"), not document counts.  Documents are ranked inside each
+    stratum by the same md5 draw :func:`sample_mixture` uses (a pure
+    function of (id, seed) — reproducible anywhere), and the stratum
+    keeps the longest PREFIX of that order whose token total fits the
+    budget: a document is kept iff its running cumsum (including
+    itself) is <= budget.  The first document that crosses the budget,
+    and everything after it in draw order, is dropped — the plain
+    prefix cut (skip-and-continue greedy would need sequential state;
+    the prefix rule is one window and within one document of the same
+    total).  Strata absent from ``budgets`` are dropped entirely.
+
+    One window shuffle keyed by the stratum (the draw is the sort
+    key); at 100 TB the per-stratum ordering is the cost — if strata
+    are few and huge, pre-aggregate per (stratum, draw-prefix) bucket
+    to bound the sort, or accept the documented greedy-prefix rule per
+    hash-bucket.  Output = input columns (filter semantics).
+    """
+    from dbus_spark.operators.text import token_count
+
+    if tokens_col is None:
+        tokens_col = token_count(text_col)
+    elif isinstance(tokens_col, str):
+        tokens_col = F.col(tokens_col)
+    budget_expr = F.lit(None).cast("long")
+    for stratum, b in budgets.items():
+        budget_expr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(b))
+        ).otherwise(budget_expr)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_draw(id_col, seed), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        df.withColumn("_tb_n", tokens_col.cast("long"))
+        .withColumn("_tb_b", budget_expr)
+        .withColumn("_tb_cum", F.sum("_tb_n").over(w))
+    )
+    return (
+        staged.filter(
+            F.col("_tb_b").isNotNull() & (F.col("_tb_cum") <= F.col("_tb_b"))
+        )
+        .drop("_tb_n", "_tb_b", "_tb_cum")
     )
 
 

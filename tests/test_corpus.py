@@ -230,3 +230,30 @@ def test_dedup_spans_hash_key_arm_identical(spark):
     hsh = {(r.doc_id, r.n_spans, r.n_kept, r.text_dedup)
            for r in dedup_spans(df, hash_key=True).collect()}
     assert lit == hsh
+
+
+def test_sample_token_budget_prefix_rule(spark):
+    from dbus_spark.operators.corpus import sample_token_budget
+
+    rows = [(i, " ".join(["w"] * (5 + i % 7)), "en" if i % 2 == 0 else "xx")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {
+        r.doc_id
+        for r in sample_token_budget(df, {"en": 50}, seed=9)
+        .select("doc_id")
+        .collect()
+    }
+    # python replica: en docs in md5-draw order, longest prefix <= 50
+    en = [(i, 5 + i % 7) for i in range(0, 40, 2)]
+    en.sort(key=lambda x: (hashlib.md5(f"{x[0]}:9".encode()).hexdigest()[:8], x[0]))
+    expect, cum = set(), 0
+    for i, t in en:
+        cum += t
+        if cum <= 50:
+            expect.add(i)
+        else:
+            break
+    assert kept == expect and len(kept) > 0
+    # stratum without a budget is dropped entirely
+    assert all(i % 2 == 0 for i in kept)
