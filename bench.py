@@ -730,15 +730,19 @@ def run_doc_ingest_streaming(
         # key, watermark wider than the fixture's event-time span so
         # dedup is global) — see dbus_spark/pipeline/ingest.py
         if policy:
-            from dbus_spark.operators.decontam import collect_bench_ngrams
+            from dbus_spark.operators.decontam import hash_bench_ngrams
             from dbus_spark.pipeline.ingest import doc_policy_stage
 
             bench_texts = [
                 " ".join(t.split()[:25])
                 for t in pdf.loc[pdf["doc_id"] % 13 == 0, "text"]
             ]
-            grams = collect_bench_ngrams(bench_texts, n=8)
-            src = doc_policy_stage(src, bench_ngrams=grams, redact=True)
+            # hash mode: the production arm (int64 roll-hash probe)
+            grams = hash_bench_ngrams(bench_texts, n=8)
+            src = doc_policy_stage(
+                src, bench_ngrams=grams, redact=True,
+                decontam_mode="hash",
+            )
         cleaned = doc_ingest_stream(
             src, quality_min=0.3, watermark="2 hours"
         )

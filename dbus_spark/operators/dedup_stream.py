@@ -82,6 +82,45 @@ _ROLL_B = 1_000_003
 _JAVA_WS = r"[ \t\n\x0b\f\r]+"
 
 
+def ngram_hash_arrays(
+    texts: pd.Series, shingle_n: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Shared n-gram hash kernel: returns ``(doc_of, gram_hash)`` —
+    one int64 polynomial-roll hash per in-document token n-gram, with
+    ``doc_of`` the (non-decreasing) positional index of the owning
+    text.  This is exactly the shingle-hash stage of
+    :func:`minhash_sigs_pandas` (same tokenization parity, same roll
+    scheme, same null handling), factored out so other map-side
+    consumers (streaming decontam's hash mode) get the measured fast
+    path instead of re-growing a per-row string-concat loop."""
+    toks = (
+        texts.reset_index(drop=True)
+        .str.strip(" ")
+        .str.split(_JAVA_WS, regex=True)
+        .explode()
+    )
+    doc_of_t = toks.index.to_numpy()
+    th = (
+        pd.util.hash_pandas_object(toks, index=False).to_numpy()
+        % np.uint64(MINHASH_P)
+    ).astype(np.int64)
+    m = len(th) - (shingle_n - 1)
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    acc = th[:m].copy()
+    for k in range(1, shingle_n):
+        acc = (acc * _ROLL_B + th[k : m + k]) % MINHASH_P
+    # a window is a shingle iff it stays inside one doc; doc_of is
+    # non-decreasing, so equal endpoints ⇒ the whole window matches
+    valid = doc_of_t[:m] == doc_of_t[shingle_n - 1 : m + shingle_n - 1]
+    # a null text explodes to a single NaN token (always alone in
+    # its doc): masking the window START kills exactly those
+    # windows — matters only for shingle_n == 1, where the NaN
+    # "shingle" would otherwise match across null docs
+    valid &= toks.notna().to_numpy()[:m]
+    return doc_of_t[:m][valid], acc[valid]
+
+
 def minhash_sigs_pandas(
     texts: pd.Series,
     ids: pd.Series,
@@ -110,12 +149,6 @@ def minhash_sigs_pandas(
     int64 cast (ADVICE r4)."""
     n = len(texts)
     out = np.empty((n, n_hashes), dtype=np.int64)
-    toks = (
-        texts.reset_index(drop=True)
-        .str.strip(" ")
-        .str.split(_JAVA_WS, regex=True)
-        .explode()
-    )
     # shingle hash = polynomial roll of the TOKEN hashes — one string
     # hash per token, then pure int64 arithmetic. The r4 form built
     # shingle STRINGS (`tok + " " + shift(-k)`) before hashing: the
@@ -125,29 +158,7 @@ def minhash_sigs_pandas(
     # changes the signature scheme vs r4 — part of the checkpoint
     # contract (don't upgrade across a live checkpoint), same as the
     # hash_pandas_object-vs-xxhash64 note above.
-    doc_of_t = toks.index.to_numpy()
-    th = (
-        pd.util.hash_pandas_object(toks, index=False).to_numpy()
-        % np.uint64(MINHASH_P)
-    ).astype(np.int64)
-    m = len(th) - (shingle_n - 1)
-    if m > 0:
-        acc = th[:m].copy()
-        for k in range(1, shingle_n):
-            acc = (acc * _ROLL_B + th[k : m + k]) % MINHASH_P
-        # a window is a shingle iff it stays inside one doc; doc_of is
-        # non-decreasing, so equal endpoints ⇒ the whole window matches
-        valid = doc_of_t[:m] == doc_of_t[shingle_n - 1 : m + shingle_n - 1]
-        # a null text explodes to a single NaN token (always alone in
-        # its doc): masking the window START kills exactly those
-        # windows — matters only for shingle_n == 1, where the NaN
-        # "shingle" would otherwise match across null docs
-        valid &= toks.notna().to_numpy()[:m]
-        base = acc[valid]
-        doc_of = doc_of_t[:m][valid]
-    else:
-        base = np.empty(0, dtype=np.int64)
-        doc_of = np.empty(0, dtype=np.int64)
+    doc_of, base = ngram_hash_arrays(texts, shingle_n)
     # one (shingles × n_hashes) affine-permutation matrix, then a
     # per-doc segmented min (doc_of is non-decreasing: explode+shift
     # preserves row order)

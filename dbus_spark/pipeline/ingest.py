@@ -66,9 +66,10 @@ def doc_ingest_stream(
 
 def doc_policy_stage(
     df: DataFrame,
-    bench_ngrams: "frozenset | None" = None,
+    bench_ngrams=None,
     ngram_n: int = 8,
     max_contam_frac: float = 0.0,
+    decontam_mode: str = "exact",
     mixture_rates: "dict[str, float] | None" = None,
     strata_col: str = "lang",
     sample_seed: int = 0,
@@ -104,7 +105,7 @@ def doc_policy_stage(
     if bench_ngrams is not None:
         out = streaming_decontam_filter(
             out, bench_ngrams, text_col=text_col, n=ngram_n,
-            max_frac=max_contam_frac,
+            max_frac=max_contam_frac, mode=decontam_mode,
         )
     if redact:
         out = redact_pii(out, text_col=text_col)

@@ -211,3 +211,31 @@ def test_excise_contaminated_spans_golden(spark):
     assert out[1] == (2, 0, "tail is bad\n\nevil words head")
     assert out[2] == (2, 2, "")
     assert out[3] == (1, 0, "bad evil")
+
+
+def test_hash_mode_matches_exact_mode(spark):
+    """The int64 roll-hash arm returns the same verdicts as the
+    exact-string arm (collision probability ~1e-13 at this scale)."""
+    from dbus_spark.operators.decontam import (
+        collect_bench_ngrams,
+        hash_bench_ngrams,
+        streaming_decontam_filter,
+    )
+
+    docs, bench = _docs(spark), _bench(spark)
+    exact = collect_bench_ngrams(bench, n=3)
+    hashed = hash_bench_ngrams(bench, n=3)
+    for max_frac in (0.0, 0.2):
+        a = {
+            r.doc_id
+            for r in streaming_decontam_filter(
+                docs, exact, n=3, max_frac=max_frac
+            ).select("doc_id").collect()
+        }
+        b = {
+            r.doc_id
+            for r in streaming_decontam_filter(
+                docs, hashed, n=3, max_frac=max_frac, mode="hash"
+            ).select("doc_id").collect()
+        }
+        assert a == b, max_frac
