@@ -737,15 +737,19 @@ def run_doc_ingest_streaming(
                 " ".join(t.split()[:25])
                 for t in pdf.loc[pdf["doc_id"] % 13 == 0, "text"]
             ]
-            # hash mode: the production arm (int64 roll-hash probe)
+            # decontam is FUSED into the enrich Arrow pass (one
+            # JVM<->Python round-trip, BENCH.md §22); redaction stays a
+            # separate codegen'd regexp stage (JVM-side, ~free)
             grams = hash_bench_ngrams(bench_texts, n=8)
-            src = doc_policy_stage(
-                src, bench_ngrams=grams, redact=True,
-                decontam_mode="hash",
+            src = doc_policy_stage(src, redact=True)
+            cleaned = doc_ingest_stream(
+                src, quality_min=0.3, watermark="2 hours",
+                bench_ngram_hashes=grams,
             )
-        cleaned = doc_ingest_stream(
-            src, quality_min=0.3, watermark="2 hours"
-        )
+        else:
+            cleaned = doc_ingest_stream(
+                src, quality_min=0.3, watermark="2 hours"
+            )
         sink = IdempotentKeyedSink(
             os.path.join(work, "out"),
             keys=["fp"],

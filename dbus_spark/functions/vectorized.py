@@ -91,15 +91,10 @@ def quality_score_v(s: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf(
-    T.StructType(
-        [
-            T.StructField("quality", T.DoubleType()),
-            T.StructField("n_tokens", T.IntegerType()),
-        ]
-    )
-)
-def _doc_enrich_v(s: pd.Series) -> pd.DataFrame:
+def doc_enrich_frame(s: pd.Series) -> pd.DataFrame:
+    """The plain-pandas enrich kernel shared by ``doc_enrich_v`` and
+    the fused policy variant (``pipeline.ingest.doc_enrich_policy_udf``)
+    — one tokenization pass producing quality + token count."""
     n_chars = s.str.len().clip(lower=1)
     alpha = s.str.count(r"[A-Za-z]")
     n_tok_raw = s.str.split().str.len().fillna(0)
@@ -115,6 +110,18 @@ def _doc_enrich_v(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"quality": q, "n_tokens": n_tok_raw.astype("int32")}
     )
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+)
+def _doc_enrich_v(s: pd.Series) -> pd.DataFrame:
+    return doc_enrich_frame(s)
 
 
 # Single-pass struct variant of quality_score_v + token_count_v for

@@ -26,10 +26,50 @@ Scale notes baked in (profiled on the micro-batch listener, r4):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from dbus_spark.functions.vectorized import doc_enrich_v
 from dbus_spark.operators.text import fingerprint
+
+
+def doc_enrich_policy_udf(bench_hashes, n: int = 8, max_frac: float = 0.0):
+    """Fused enrich + decontam struct UDF: ONE Arrow pass computing
+    ``{quality, n_tokens, clean}`` — the text column crosses the
+    JVM↔Python boundary once instead of twice (BENCH.md §22 measured
+    the extra Arrow stage, not the n-gram probe, as the policy
+    stage's real micro-batch cost).  ``bench_hashes`` is the sorted
+    int64 array from ``decontam.hash_bench_ngrams``; the verdict is
+    the hash-arm semantics of ``streaming_decontam_filter``.
+    Nondeterministic for the same reason as ``doc_enrich_v``: a
+    downstream filter must not re-evaluate the pass."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from dbus_spark.functions.vectorized import doc_enrich_frame
+    from dbus_spark.operators.dedup_stream import ngram_hash_arrays
+
+    @pandas_udf("struct<quality: double, n_tokens: int, clean: boolean>")
+    def _f(s: pd.Series) -> pd.DataFrame:
+        out = doc_enrich_frame(s)
+        t = s.reset_index(drop=True)
+        doc_of, grams = ngram_hash_arrays(t, n)
+        keep = np.ones(len(t), dtype=bool)
+        if len(grams):
+            key = (doc_of.astype(np.int64) << np.int64(31)) | grams
+            uk = np.unique(key)
+            d = uk >> np.int64(31)
+            g = uk & np.int64((1 << 31) - 1)
+            hit = np.isin(g, bench_hashes)
+            n_grams = np.bincount(d, minlength=len(t))
+            n_hit = np.bincount(d, weights=hit, minlength=len(t))
+            hasg = n_grams > 0
+            keep[hasg] = n_hit[hasg] / n_grams[hasg] <= max_frac
+        out["clean"] = keep
+        return out
+
+    return _f.asNondeterministic()
 
 
 def doc_ingest_stream(
@@ -40,22 +80,42 @@ def doc_ingest_stream(
     text_col: str = "text",
     hash_fn: str = "xxhash64",
     dedup: bool = True,
+    bench_ngram_hashes=None,
+    ngram_n: int = 8,
+    max_contam_frac: float = 0.0,
 ) -> DataFrame:
     """Enrich → quality-filter → (optionally) streaming-dedup a
     document stream. Works on batch DataFrames too (the watermark/
     dedup step is skipped unless ``df.isStreaming`` and ``dedup``).
 
+    ``bench_ngram_hashes`` (from ``decontam.hash_bench_ngrams``)
+    fuses benchmark decontamination into the SAME Arrow pass as the
+    enrichment — contaminated docs drop alongside low-quality ones at
+    zero extra serialization cost.
+
     Returns the cleaned frame with added columns ``quality``,
     ``n_tokens``, ``fp``; feed it to ``writeStream.foreachBatch(
     IdempotentKeyedSink(..., keys=['fp']).foreach_batch())`` for the
     exactly-once landing."""
-    out = (
-        src.withColumn("e", doc_enrich_v(F.col(text_col)))
-        .filter(F.col("e.quality") >= quality_min)
-        .select("*", "e.quality", "e.n_tokens")
-        .drop("e")
-        .withColumn("fp", fingerprint(text_col, hash_fn=hash_fn))
-    )
+    if bench_ngram_hashes is not None:
+        enrich = doc_enrich_policy_udf(
+            bench_ngram_hashes, n=ngram_n, max_frac=max_contam_frac
+        )
+        out = (
+            src.withColumn("e", enrich(F.col(text_col)))
+            .filter((F.col("e.quality") >= quality_min) & F.col("e.clean"))
+            .select("*", "e.quality", "e.n_tokens")
+            .drop("e")
+            .withColumn("fp", fingerprint(text_col, hash_fn=hash_fn))
+        )
+    else:
+        out = (
+            src.withColumn("e", doc_enrich_v(F.col(text_col)))
+            .filter(F.col("e.quality") >= quality_min)
+            .select("*", "e.quality", "e.n_tokens")
+            .drop("e")
+            .withColumn("fp", fingerprint(text_col, hash_fn=hash_fn))
+        )
     if dedup and out.isStreaming:
         out = out.withWatermark(ts_col, watermark)
         out = out.dropDuplicatesWithinWatermark(["fp"])

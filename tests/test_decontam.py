@@ -239,3 +239,37 @@ def test_hash_mode_matches_exact_mode(spark):
             ).select("doc_id").collect()
         }
         assert a == b, max_frac
+
+
+def test_fused_ingest_policy_matches_staged(spark, tmp_path):
+    """doc_ingest_stream(bench_ngram_hashes=...) — the one-Arrow-pass
+    fused form — keeps exactly the docs the staged filter-then-ingest
+    composition keeps (batch mode; same quality threshold)."""
+    from dbus_spark.operators.decontam import (
+        hash_bench_ngrams,
+        streaming_decontam_filter,
+    )
+    from dbus_spark.pipeline.ingest import doc_ingest_stream
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(30)))
+            for i in range(50)]
+    rows[9] = (9, "the quick brown fox " * 8)  # vs bench below
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = hash_bench_ngrams(["the quick brown fox " * 8], n=3)
+
+    fused = {
+        r.doc_id
+        for r in doc_ingest_stream(
+            df, quality_min=0.0, dedup=False,
+            bench_ngram_hashes=grams, ngram_n=3,
+        ).select("doc_id").collect()
+    }
+    staged = {
+        r.doc_id
+        for r in doc_ingest_stream(
+            streaming_decontam_filter(df, grams, n=3, mode="hash"),
+            quality_min=0.0, dedup=False,
+        ).select("doc_id").collect()
+    }
+    assert fused == staged
+    assert 9 not in fused
