@@ -553,6 +553,54 @@ def _doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(chunked, delim="\n\n", out_col="text_dedup")
 
 
+def _doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality score (the CCNet/FineWeb filter
+    family's oracle-replayable member): train add-one-smoothed unigram
+    log-probs on the corpus itself and score each doc's mean negative
+    log-prob per token.  Int64 micro-nat fixed point makes the sum
+    exact and shuffle-order-independent; one scan of the text column
+    feeds both the LM counts and the per-doc rollup
+    (operators/text.py::doc_logppl)."""
+    from dbus_spark.operators.text import doc_logppl
+
+    return doc_logppl(_docs(spark, sf_dir))
+
+
+def _emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (public, arXiv:2303.09540): cluster-scoped semantic
+    dedup — IVF-assign to 16 seeded cells, pairs above cosine 0.4
+    within a cell are semantic duplicates, keep the one FARTHER from
+    the centroid (tie: lower id).  The only pair join is within
+    cells, so candidates are sum(cell²), never corpus²
+    (operators/similarity.py::semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.semdedup(emb, threshold=0.4, dim=64, n_centroids=16, seed=11)
+
+
+def _doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export-shard assignment (WebDataset/Dolma shard
+    cut): per language, docs in id order; a doc's shard is the bucket
+    its start offset falls into at an 8 KiB budget (docs never split;
+    overflow bounded by one doc).  One stratum-partitioned window —
+    no global ordering (operators/corpus.py::shard_plan)."""
+    from dbus_spark.operators.corpus import shard_plan
+
+    return shard_plan(load_table(spark, sf_dir, "documents"), 8192)
+
+
+def _doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest over the shard plan: doc count, byte total,
+    id range — the seek sidecar an exporter writes next to each shard
+    (operators/corpus.py::shard_manifest)."""
+    from dbus_spark.operators.corpus import shard_manifest, shard_plan
+
+    return shard_manifest(
+        shard_plan(load_table(spark, sf_dir, "documents"), 8192)
+    )
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -1020,6 +1068,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_tokens": _doc_sample_tokens,
         "doc_pii_redact": _doc_pii_redact,
         "doc_paragraph_dedup": _doc_paragraph_dedup,
+        # --- new round 5 (third batch): LM-perplexity quality score,
+        # SemDeDup, export sharding — in the checked head; four more
+        # long-stable r4-green queries rotate past the 50-row window
+        # (doc_simhash_pairs/neardup/neardup_full, doc_jaccard_pairs —
+        # their operator functions are untouched this round)
+        "doc_unigram_logppl": _doc_unigram_logppl,
+        "emb_semdedup": _emb_semdedup,
+        "doc_shard_plan": _doc_shard_plan,
+        "doc_shard_manifest": _doc_shard_manifest,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -1367,6 +1424,57 @@ _LANG_SCORES = """
 """
 
 
+def _semdedup_oracle(
+    threshold: float = 0.4, n_centroids: int = 16
+) -> str:
+    """SemDeDup mirror: assign = argmax dot (first index on ties, the
+    ivf_assign rule); cent_sim = round(cdot / (|v| * |c|), 4) with the
+    centroid norms injected as the SAME Python-computed literals the
+    Spark plan consumes; drop x iff a same-cell y with
+    round(cos(x,y),4) > threshold ranks below it on (cent_sim, id)."""
+    import numpy as np
+
+    from dbus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_centroids, 64, seed=11)
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], [{c}]::DOUBLE[])".format(
+            c=", ".join(repr(float(x)) for x in cent)
+        )
+        for cent in cents
+    )
+    cnorms = ", ".join(
+        repr(float(np.sqrt(np.dot(np.asarray(c), np.asarray(c)))))
+        for c in cents
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, [{dots}] AS dots "
+        "  FROM embeddings), "
+        "p0 AS (SELECT vec_id, "
+        "  unnest([{'cell': i, 'cdot': dots[i+1]} "
+        f"          for i in range(0, {n_centroids})]) AS u FROM d), "
+        "pr AS (SELECT vec_id, u.cell AS cell, u.cdot AS cdot, "
+        "  ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "    ORDER BY u.cdot DESC, u.cell ASC) AS rk FROM p0), "
+        "a AS (SELECT vec_id, cell, cdot FROM pr WHERE rk = 1), "
+        f"cn AS (SELECT i AS cell, ([{cnorms}])[i+1] AS cnorm "
+        f"  FROM range({n_centroids}) t(i)), "
+        "r AS (SELECT a.vec_id, a.cell, "
+        "  ROUND(a.cdot / (sqrt(list_dot_product("
+        "    e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * cn.cnorm), "
+        "    4) AS cent_sim, e.embedding AS emb "
+        "  FROM a JOIN embeddings e ON e.vec_id = a.vec_id "
+        "  JOIN cn ON cn.cell = a.cell) "
+        "SELECT x.vec_id, x.cell, x.cent_sim FROM r x "
+        "WHERE NOT EXISTS (SELECT 1 FROM r y "
+        "  WHERE y.cell = x.cell AND y.vec_id != x.vec_id "
+        "  AND ROUND(list_cosine_similarity(x.emb::DOUBLE[], "
+        f"    y.emb::DOUBLE[]), 4) > {threshold} "
+        "  AND (y.cent_sim < x.cent_sim "
+        "    OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id)))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # entries resolving to None (e.g. the trained-IVF oracle when its
     # fixture is absent) are omitted -> the driver records the weaker
@@ -1699,6 +1807,48 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "COALESCE(string_agg(CASE WHEN r = 1 THEN span END, e'\\n\\n' "
             "  ORDER BY pos), '') AS text_dedup "
             "FROM rk GROUP BY doc_id"
+        ),
+        "doc_unigram_logppl": (
+            # add-one-smoothed unigram LM trained on the corpus itself;
+            # per-token log-prob as int64 micro-nats (exact, order-
+            # independent sum), per-doc mean negative log-prob per token
+            f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "ex AS (SELECT doc_id, unnest(toks) AS token FROM tk), "
+            "cnt AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY token), "
+            "tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt), "
+            "lp AS (SELECT token, "
+            "  CAST(round(ln((c + 1.0) / (t + v)) * 1000000) AS BIGINT) "
+            "  AS lp6 FROM cnt CROSS JOIN tot), "
+            "agg AS (SELECT e.doc_id, COUNT(*) AS n_tokens, "
+            "  SUM(lp.lp6) AS s FROM ex e JOIN lp USING(token) "
+            "  GROUP BY e.doc_id) "
+            "SELECT doc_id, n_tokens, "
+            "ROUND(-s / (n_tokens * 1000000.0), 4) AS logppl FROM agg"
+        ),
+        "emb_semdedup": _semdedup_oracle(),
+        "doc_shard_plan": (
+            # offset-bucket shard rule: per lang in doc_id order, shard
+            # = floor(start_byte_offset / 8192); docs never split
+            "WITH b AS (SELECT doc_id, lang, "
+            "  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), "
+            "w AS (SELECT doc_id, lang, n_bytes, "
+            "  SUM(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id "
+            "    ROWS UNBOUNDED PRECEDING) - n_bytes AS start FROM b) "
+            "SELECT doc_id, lang, n_bytes, "
+            "CAST(floor(start / 8192.0) AS INT) AS shard_idx FROM w"
+        ),
+        "doc_shard_manifest": (
+            "WITH b AS (SELECT doc_id, lang, "
+            "  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), "
+            "w AS (SELECT doc_id, lang, n_bytes, "
+            "  SUM(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id "
+            "    ROWS UNBOUNDED PRECEDING) - n_bytes AS start FROM b), "
+            "p AS (SELECT doc_id, lang, n_bytes, "
+            "  CAST(floor(start / 8192.0) AS INT) AS shard_idx FROM w) "
+            "SELECT lang, shard_idx, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes, "
+            "MIN(doc_id) AS first_id, MAX(doc_id) AS last_id "
+            "FROM p GROUP BY lang, shard_idx"
         ),
         "interval_join": (
             "SELECT c.user_id AS user_id, c.event_id AS click_id, "

@@ -48,6 +48,9 @@ __all__ = [
     "redact_pii",
     "pii_counts",
     "dedup_spans",
+    "shard_plan",
+    "shard_manifest",
+    "export_shards",
 ]
 
 
@@ -478,3 +481,115 @@ def dedup_spans(
         )
         .withColumnRenamed("_sp_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic export sharding (WebDataset / Dolma-style shard plans)
+# ---------------------------------------------------------------------------
+
+
+def shard_plan(
+    df: DataFrame,
+    shard_bytes: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    bytes_col: str | Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic export-shard assignment: the plan an exporter
+    follows to cut a curated corpus into ~``shard_bytes`` files per
+    stratum (the WebDataset/Dolma shard shape — training jobs stream
+    shards, so shard boundaries must be stable across re-runs).
+
+    Rule (the offset-bucket rule — one window, no recursion, SQL-
+    replayable): within a stratum, documents are taken in ``id``
+    order; a document's shard is ``floor(start_offset / shard_bytes)``
+    where ``start_offset`` is the byte offset where the document
+    WOULD begin in the concatenated stratum stream.  Documents are
+    never split, so a shard can overflow by at most the one document
+    that straddles its boundary — the standard bounded-overflow
+    trade against greedy next-fit's sequential state.
+
+    Output: ``(id, strata, n_bytes, shard_idx)``.
+
+    Scale shape: byte length is a codegen expression computed before
+    the ONE window shuffle, which partitions by the stratum — no
+    global ordering bottleneck (a per-language cumsum at 100 TB is
+    wide but each stratum orders independently; split giant strata on
+    a hash prefix if one language dominates).  The plan is a pure
+    function of (id order, byte sizes), so re-running it months later
+    reproduces the same shard cut — the same property
+    :func:`sample_mixture` pins for sampling decisions.
+    """
+    if bytes_col is None:
+        bytes_col = F.octet_length(F.col(text_col))
+    elif isinstance(bytes_col, str):
+        bytes_col = F.col(bytes_col)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            bytes_col.cast("long").alias("n_bytes"),
+        )
+        .withColumn(
+            "shard_idx",
+            F.floor(
+                (F.sum("n_bytes").over(w) - F.col("n_bytes"))
+                / F.lit(int(shard_bytes))
+            ).cast("int"),
+        )
+    )
+
+
+def shard_manifest(
+    plan: DataFrame, strata_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-shard manifest over a :func:`shard_plan`: doc count, byte
+    total, id range — the sidecar an exporter writes next to each
+    shard so a reader can seek without scanning.  One shard-count-
+    sized aggregation."""
+    return plan.groupBy(strata_col, "shard_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    shard_bytes: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the shard cut: join the :func:`shard_plan` verdict
+    back onto the corpus and write parquet partitioned by
+    ``(strata, shard_idx)`` — each shard directory is one seekable
+    unit a loader mounts independently.  Returns the manifest.
+
+    The plan side is (id, stratum, bytes, shard) — slim — and joins
+    back on the id; the write repartitions by the partition columns
+    so each shard is produced by one task (one file per shard at
+    default settings, the property loaders want).  At 100 TB the
+    partitioned write IS the shuffle; there is no second one.
+    """
+    plan = shard_plan(
+        df, shard_bytes, strata_col, id_col, text_col=text_col
+    )
+    joined = df.join(
+        plan.select(id_col, "n_bytes", "shard_idx"), on=id_col
+    )
+    (
+        joined.repartition(F.col(strata_col), F.col("shard_idx"))
+        .write.mode("overwrite")
+        .partitionBy(strata_col, "shard_idx")
+        .parquet(path)
+    )
+    return shard_manifest(plan, strata_col)

@@ -171,16 +171,27 @@ def streaming_decontam_filter(
     via a vectorized probe — the 100 TB arm (the near-dup kernel
     lesson: per-row gram-string building dominates; rolling int64
     hashes through C kernels removes it).  Verdicts agree short of a
-    64-bit collision (pinned by a test)."""
+    64-bit collision (pinned by a test).  ``mode='bloom'`` (with the
+    bitset from :func:`bloom_bench_ngrams`) is the giant-exclusion-
+    set arm: ~4.6x smaller closure than the hash array, one-sided
+    error — every doc hash-mode drops, bloom-mode drops (no false
+    PASSES; pinned by a test), plus an FP-rate's worth of clean docs
+    over-dropped."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     bench = bench_ngrams  # closure capture; ships once per executor
-    if mode not in ("exact", "hash"):
-        raise ValueError(f"mode must be exact|hash: {mode}")
+    if mode not in ("exact", "hash", "bloom"):
+        raise ValueError(f"mode must be exact|hash|bloom: {mode}")
 
-    if mode == "hash":
+    if mode in ("hash", "bloom"):
         from dbus_spark.operators.dedup_stream import ngram_hash_arrays
+
+        probe = (
+            (lambda g: np.isin(g, bench))
+            if mode == "hash"
+            else (lambda g: bloom_probe(g, bench))
+        )
 
         @pandas_udf("boolean")
         def _clean(texts: pd.Series) -> pd.Series:
@@ -195,7 +206,7 @@ def streaming_decontam_filter(
                 uk = np.unique(key)
                 d = uk >> np.int64(31)
                 g = uk & np.int64((1 << 31) - 1)
-                hit = np.isin(g, bench)
+                hit = probe(g)
                 n_grams = np.bincount(d, minlength=len(t))
                 n_hit = np.bincount(d, weights=hit, minlength=len(t))
                 hasg = n_grams > 0
@@ -286,3 +297,89 @@ def excise_contaminated_spans(
         .withColumn("n_excised", F.col("_ex.n_excised"))
         .drop("_ex")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter arm — for benchmark/exclusion sets too big to ship whole
+# ---------------------------------------------------------------------------
+
+_SM64_C1 = 0x9E3779B97F4A7C15
+_SM64_C2 = 0xBF58476D1CE4E5B9
+_SM64_C3 = 0x94D049BB133111EB
+
+
+def _splitmix64(x: "object") -> "object":
+    """Vectorized splitmix64 finalizer (public domain constant mix, the
+    standard Bloom double-hash base).  uint64 wraparound arithmetic."""
+    import numpy as np
+
+    x = (x + np.uint64(_SM64_C1)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(_SM64_C2)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(_SM64_C3)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_set(grams, m_bits: int, k: int):
+    """Bit positions for each gram under k-fold double hashing:
+    idx_i = (h1 + i*h2) mod m, h2 forced odd so the stride cycles the
+    power-of-two table."""
+    import numpy as np
+
+    g = grams.astype(np.uint64)
+    h1 = _splitmix64(g)
+    h2 = _splitmix64(g ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    return [
+        ((h1 + np.uint64(i) * h2) & mask) for i in range(k)
+    ]
+
+
+def bloom_bench_ngrams(
+    benchmark,
+    text_col: str = "text",
+    n: int = 8,
+    bits_per_gram: int = 14,
+) -> tuple:
+    """Benchmark n-gram set as a BLOOM bitset: ``(bits, m_bits, k)``
+    with ``bits`` a packed uint64 array — for
+    ``streaming_decontam_filter(..., mode='bloom')``.
+
+    The regime: :func:`hash_bench_ngrams` ships 8 bytes per gram,
+    fine for MB-scale eval sets; a full eval-SUITE exclusion list (or
+    a cross-corpus "everything already trained on" set) can reach
+    10^9 grams = 8 GB per executor.  At 14 bits/gram the Bloom form
+    is ~4.6x smaller with FP rate ~(1-e^{-k/14})^k ≈ 1e-3 — and the
+    error is ONE-SIDED: a false positive can only OVERSTATE a doc's
+    contamination (dropping a clean doc), never pass a contaminated
+    one; training-data hygiene wants exactly that asymmetry.  Probe
+    is k vectorized gathers per gram batch, no set objects.
+    """
+    import numpy as np
+
+    grams = hash_bench_ngrams(benchmark, text_col, n)
+    n_grams = max(1, len(grams))
+    m_bits = 1 << max(6, int(np.ceil(np.log2(n_grams * bits_per_gram))))
+    k = max(1, int(round(bits_per_gram * 0.6931)))
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for idx in _bloom_set(np.asarray(grams), m_bits, k):
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return bits, m_bits, k
+
+
+def bloom_probe(grams, bloom) -> "object":
+    """Vectorized membership test of int64 gram hashes against a
+    :func:`bloom_bench_ngrams` bitset — boolean array, True = maybe
+    present (contaminated), False = definitely absent."""
+    import numpy as np
+
+    bits, m_bits, k = bloom
+    if len(grams) == 0:
+        return np.zeros(0, dtype=bool)
+    hit = np.ones(len(grams), dtype=bool)
+    for idx in _bloom_set(np.asarray(grams), m_bits, k):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return hit

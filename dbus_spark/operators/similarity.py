@@ -900,3 +900,110 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("_sim", 4).alias("sim"))
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    cluster-scoped SEMANTIC dedup over an embedding column.  Vectors
+    are coarse-clustered (the IVF assignment — seeded stand-ins or a
+    :func:`kmeans_centroids` quantizer); within each cluster, pairs
+    above the cosine ``threshold`` are semantic duplicates, and of
+    any duplicate pair the survivor is the one FARTHER from the
+    centroid (the paper's keep-rule: low centroid-cosine = the more
+    marginal, information-adding example), ties broken by id.
+
+    Exact rule (deterministic, oracle-replayable): a row x is DROPPED
+    iff some y in the same cell has round(cos(x,y),4) > threshold and
+    (round(cos(y,cent)),4), y.id) < ((round(cos(x,cent)),4), x.id).
+    On a chain a~b, b~c (a best-ranked) this drops BOTH b and c —
+    slightly more aggressive than keep-one-per-component, and join-
+    expressible without an iterative CC pass (use
+    :func:`neardup_groups` when component semantics matter).
+
+    Output: the kept rows, ``(id, cell, cent_sim)``.
+
+    Scale shape (the reason SemDeDup beats pairwise near-dup at
+    100 TB): the only pair join is WITHIN cells — shuffle keys on the
+    cell id, candidate count is sum of cell-size², never corpus².
+    The cluster count is the knob (the paper uses ~100k clusters at
+    web scale, keeping cells ~1e4 rows); centroid assignment is one
+    map-side Arrow pass.  Hot-cell skew mitigations are the IVF
+    family's (cap or split oversized cells — `neardup_pairs_ivf`'s
+    ``max_cell``).  Centroid norms are injected as literals computed
+    once at plan time, so the Spark plan and the SQL oracle consume
+    bit-identical constants.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed
+    )
+    cnorms = [float(np.sqrt(np.dot(np.asarray(c), np.asarray(c)))) for c in cents]
+    base = (
+        df.withColumn("_cdots", _centroid_dots(vec_col, cents))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("_cdots"), F.array_max("_cdots")) - 1
+            ).cast("int"),
+        )
+        .withColumn("_cdot", F.element_at("_cdots", F.col("cell") + 1))
+        .withColumn(
+            "_cnorm",
+            F.element_at(
+                F.array(*[F.lit(x) for x in cnorms]), F.col("cell") + 1
+            ),
+        )
+        .withColumn("_vnorm", norm(vec_col))
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round(F.col("_cdot") / (F.col("_vnorm") * F.col("_cnorm")), 4)
+            .alias("cent_sim"),
+            F.col(vec_col).alias("_vec"),
+            F.col("_vnorm"),
+        )
+    )
+    x = base.select(
+        F.col(id_col).alias("_x_id"),
+        F.col("cell"),
+        F.col("cent_sim").alias("_x_cs"),
+        F.col("_vec").alias("_x_vec"),
+        F.col("_vnorm").alias("_x_n"),
+    )
+    y = base.select(
+        F.col(id_col).alias("_y_id"),
+        F.col("cell"),
+        F.col("cent_sim").alias("_y_cs"),
+        F.col("_vec").alias("_y_vec"),
+        F.col("_vnorm").alias("_y_n"),
+    )
+    dropped = (
+        x.join(y, on="cell")
+        .filter(F.col("_x_id") != F.col("_y_id"))
+        .filter(
+            (F.col("_y_cs") < F.col("_x_cs"))
+            | (
+                (F.col("_y_cs") == F.col("_x_cs"))
+                & (F.col("_y_id") < F.col("_x_id"))
+            )
+        )
+        .filter(
+            F.round(
+                cosine_pre("_x_vec", "_y_vec", "_x_n", "_y_n"), 4
+            )
+            > threshold
+        )
+        .select(F.col("_x_id").alias(id_col))
+        .distinct()
+    )
+    return base.join(dropped, on=id_col, how="left_anti").select(
+        id_col, "cell", "cent_sim"
+    )

@@ -314,3 +314,96 @@ def tfidf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_logprobs(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus unigram language model: per-token count and add-one-
+    smoothed log-probability ``lp6 = round(ln((c+1)/(T+V)) * 1e6)``
+    as an INT64 (micro-nat fixed point) — T = total token
+    occurrences, V = vocabulary size.
+
+    The CCNet/ FineWeb quality-filter family scores documents by LM
+    perplexity (they use a KenLM 5-gram; the unigram form is the
+    oracle-replayable member of the family and the standard first
+    pass).  The fixed-point encoding is the reproducibility protocol:
+    summing int64 micro-nats is EXACT and order-independent, so the
+    per-doc score in :func:`doc_logppl` is bit-identical on any
+    cluster size, any shuffle order, and any engine — a float sum
+    would drift with partitioning.  ``ln`` differing by 1 ulp between
+    engines flips the 1e-6 rounding only within ~1e-10 of a boundary
+    (never observed; same exposure class as the green idf protocol).
+
+    Shape: one explode + one |vocab|-bounded count shuffle; T and V
+    are one vocab-sized aggregation collapsed to a driver scalar
+    (exact as a double to 9e15 tokens — past that, swap the literal
+    for a decimal).  ``doc_tokens`` lets a caller that already holds
+    the exploded projection (e.g. :func:`doc_logppl`) skip the second
+    corpus scan, the same contract as :func:`corpus_idf`.
+    """
+    if doc_tokens is None:
+        doc_tokens = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = doc_tokens.groupBy("token").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    ).first()
+    denom = float(tot["T"] + tot["V"])
+    return counts.select(
+        "token",
+        "c",
+        F.round(F.log((F.col("c") + 1) / F.lit(denom)) * 1e6, 0)
+        .cast("long")
+        .alias("lp6"),
+    )
+
+
+def doc_logppl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm: DataFrame | None = None,
+    oov_lp6: int | None = None,
+) -> DataFrame:
+    """Per-document unigram cross-entropy (mean negative log-prob per
+    token, nats): ``(id, n_tokens, logppl)`` with ``logppl =
+    round(-sum(lp6) / (n_tokens * 1e6), 4)`` — LOW is fluent/common,
+    HIGH is rare/garbled; the threshold cut is the caller's policy
+    (CCNet keeps the middle tertile).
+
+    Trained on the scored corpus itself by default: the exploded
+    ``(doc, token)`` projection is persisted and feeds BOTH the LM
+    counts and the per-doc rollup — ONE scan of the text column, the
+    same single-pass contract as :func:`tfidf_topk` (r5).  The lp6
+    join is token-keyed sort-merge by default; the LM side is
+    |vocab|-sized, so broadcast it when it fits.
+
+    ``lm`` scores against a HELD-OUT model (the production shape: the
+    LM is trained on a clean reference corpus, then 100 TB of raw
+    text is scored against it map-side).  Tokens missing from a
+    held-out LM take ``oov_lp6`` (required with ``lm``; the usual
+    choice is the model's smoothing floor ``round(ln(1/(T+V))*1e6)``).
+    Self-trained scoring has no OOV by construction.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    if lm is None:
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+        lm = unigram_logprobs(df, text_col, doc_tokens=exploded)
+        lp = F.col("lp6")
+    else:
+        if oov_lp6 is None:
+            raise ValueError("a held-out lm requires oov_lp6")
+        lp = F.coalesce(F.col("lp6"), F.lit(int(oov_lp6)))
+    joined = exploded.join(
+        lm.select("token", "lp6"), on="token", how="left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum(lp) / (F.count("*") * 1e6), 4).alias("logppl"),
+    )

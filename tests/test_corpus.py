@@ -257,3 +257,47 @@ def test_sample_token_budget_prefix_rule(spark):
     assert kept == expect and len(kept) > 0
     # stratum without a budget is dropped entirely
     assert all(i % 2 == 0 for i in kept)
+
+
+def test_shard_plan_offset_bucket_rule(spark):
+    from dbus_spark.operators.corpus import shard_manifest, shard_plan
+
+    # per-stratum byte sizes chosen so shards overflow: budget 100,
+    # docs of 40/70/90 bytes force boundary-straddling documents
+    rows = [(i, "x" * (40 + (i * 17) % 60), "en" if i % 2 == 0 else "fr")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = shard_plan(df, 100).toPandas().sort_values(["lang", "doc_id"])
+    # python replica of the offset-bucket rule
+    for lang, grp in plan.groupby("lang"):
+        start = 0
+        for _, r in grp.iterrows():
+            assert r.shard_idx == start // 100
+            start += r.n_bytes
+    # a doc is never split and every shard's FIRST doc starts inside it
+    man = shard_manifest(shard_plan(df, 100)).toPandas()
+    assert (man.n_docs >= 1).all()
+    # shard indexes are dense from 0 per stratum
+    for lang, grp in man.groupby("lang"):
+        assert sorted(grp.shard_idx) == list(range(len(grp)))
+    # deterministic across recomputation
+    again = shard_plan(df, 100).toPandas().sort_values(["lang", "doc_id"])
+    assert plan.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_export_shards_roundtrip(spark, tmp_path):
+    from dbus_spark.operators.corpus import export_shards
+
+    rows = [(i, "y" * (30 + i % 50), "en" if i % 3 else "de")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    man = export_shards(df, str(tmp_path / "shards"), 200).toPandas()
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    # every doc comes back exactly once with its text intact
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    assert got == {(i, t) for i, t, _ in rows}
+    # manifest byte totals equal what landed in each partition
+    per = (back.groupBy("lang", "shard_idx").count().toPandas()
+           .set_index(["lang", "shard_idx"])["count"])
+    for _, r in man.iterrows():
+        assert per[(r.lang, r.shard_idx)] == r.n_docs

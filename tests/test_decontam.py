@@ -273,3 +273,54 @@ def test_fused_ingest_policy_matches_staged(spark, tmp_path):
     }
     assert fused == staged
     assert 9 not in fused
+
+
+def test_bloom_mode_never_passes_contaminated(spark):
+    """Bloom error is one-sided: every doc the hash arm drops, the
+    bloom arm drops (a false positive can only over-drop)."""
+    from dbus_spark.operators.decontam import (
+        bloom_bench_ngrams,
+        hash_bench_ngrams,
+        streaming_decontam_filter,
+    )
+
+    def text(i):
+        if i % 9 == 1:  # contaminated NON-bench doc: copies a run
+            return " ".join(f"w{i - 1}x{j}" for j in range(12))
+        return " ".join(f"w{i}x{j}" for j in range(20))
+
+    rows = [(i, text(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id % 9 = 0")
+    hb = hash_bench_ngrams(bench, n=8)
+    bb = bloom_bench_ngrams(bench, n=8)
+    kept_h = {r.doc_id for r in
+              streaming_decontam_filter(df, hb, n=8, mode="hash")
+              .select("doc_id").collect()}
+    kept_b = {r.doc_id for r in
+              streaming_decontam_filter(df, bb, n=8, mode="bloom")
+              .select("doc_id").collect()}
+    assert kept_b <= kept_h          # no false passes, ever
+    assert len(kept_h) > 0           # the test corpus has clean docs
+    # at 14 bits/gram the FP rate is ~1e-3: over-drops are rare
+    assert len(kept_h - kept_b) <= max(2, len(kept_h) // 50)
+
+
+def test_bloom_bitset_is_smaller_than_hash_array(spark):
+    from dbus_spark.operators.decontam import (
+        bloom_bench_ngrams,
+        hash_bench_ngrams,
+    )
+
+    rows = [(i, " ".join(f"t{(i * 13 + j) % 997}" for j in range(40)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hb = hash_bench_ngrams(df, n=8)
+    bits, m_bits, k = bloom_bench_ngrams(df, n=8)
+    assert bits.nbytes < hb.nbytes       # the point of the arm
+    assert m_bits % 64 == 0 and k >= 1
+    # empty benchmark degrades gracefully: nothing flagged
+    import numpy as np
+    from dbus_spark.operators.decontam import bloom_probe
+    eb = bloom_bench_ngrams([], n=8)
+    assert not bloom_probe(np.array([1, 2, 3], dtype=np.int64), eb).any()

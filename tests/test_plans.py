@@ -369,3 +369,33 @@ def test_cep_quantified_single_partitioning_no_join(spark):
     plan = _plan(q)
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_semdedup_no_cartesian_cell_keyed(spark):
+    """SemDeDup's only pair join must key on the cell — a cartesian
+    (or broadcast-nested-loop) pair plan is the O(n²) failure mode
+    the clustering exists to prevent."""
+    q = entrymod.queries()["emb_semdedup"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_plan_one_window_no_global_sort(spark):
+    """The shard cut is ONE stratum-partitioned window — per-language
+    cumsum, no global ordering bottleneck."""
+    q = entrymod.queries()["doc_shard_plan"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Window") >= 1
+    # the only exchange is the window's hashpartitioning on the
+    # stratum; a rangepartitioning exchange would mean a global sort
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_doc_logppl_single_corpus_scan(spark):
+    """The exploded (doc, token) projection is persisted and feeds
+    both the LM counts and the per-doc rollup — the text column is
+    read from parquet once (same contract as tfidf_topk)."""
+    q = entrymod.queries()["doc_unigram_logppl"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "InMemoryTableScan" in plan
