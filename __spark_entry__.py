@@ -1035,13 +1035,12 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry rotation (round 5): the driver's correctness harness records
-    # at most 50 rows, and this registry holds 55 queries.  The five entries
-    # that lead the dict are exactly the five that silently fell out of
-    # CORRECTNESS_r04 (they were the registry tail); five long-stable,
-    # code-unchanged queries (event_json, sales_rollup,
-    # customer_running_spend, topk_per_user, customers_no_big_orders — all
-    # green every round since r1/r2) now sit out at the tail.  The rotation
-    # is documented in COVERAGE.md § "Registry rotation".
+    # at most 50 rows; this registry holds 72 queries.  Head = the five
+    # entries that fell out of CORRECTNESS_r04 plus every query whose
+    # operator code changed or is new in round 5; tail = long-stable,
+    # code-unchanged queries green in earlier rounds (all 72 still run
+    # against DuckDB every pytest via tests/test_entry_oracle.py).  The
+    # rotation is documented in COVERAGE.md § "Registry rotation".
     return {
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_knn_ivf_trained": _emb_knn_ivf_trained,

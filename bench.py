@@ -66,6 +66,9 @@ BATCH_QUERIES = [
     "doc_pack_dense",
     "doc_pii_redact",
     "doc_paragraph_dedup",
+    "doc_unigram_logppl",
+    "doc_shard_plan",
+    "doc_shard_manifest",
     "corpus_idf",
     "doc_tfidf_topk",
     "doc_simhash",
@@ -83,6 +86,7 @@ BATCH_QUERIES = [
     "emb_neardup_ivf",
     "emb_neardup_ivf_trained",
     "emb_neardup_groups",
+    "emb_semdedup",
     "emb_knn_lsh",
     "emb_knn_ivf",
     "emb_knn_ivf_trained",
