@@ -9,6 +9,7 @@ whole-stage codegen and scales linearly with executors.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -407,3 +408,131 @@ def doc_logppl(
         F.count("*").alias("n_tokens"),
         F.round(-F.sum(lp) / (F.count("*") * 1e6), 4).alias("logppl"),
     )
+
+
+def collect_unigram_lm(lm: DataFrame) -> dict:
+    """Materialize a trained :func:`unigram_logprobs` table as a
+    ``{token: lp6}`` dict for closure shipping — the LM analog of
+    ``decontam.collect_bench_ngrams``: an LM is vocab-sized (MB),
+    never corpus-sized, so it rides the streaming filter's closure
+    the way a broadcast join side would."""
+    return {r["token"]: r["lp6"] for r in lm.select("token", "lp6").collect()}
+
+
+def hash_unigram_lm(lm: DataFrame) -> tuple:
+    """Trained LM as ``(sorted int64 token-hash array, aligned lp6
+    array)`` — the 100 TB closure form (~16 bytes/vocab entry, C-speed
+    searchsorted probes, no Python string hashing per token).  Token
+    hashing reuses the streaming kernel's scheme
+    (``pd.util.hash_pandas_object % MINHASH_P``), so probe and build
+    agree byte-for-byte; two vocab tokens colliding at 64→31 bits
+    would let one lp6 stand for both (same collision contract as the
+    decontam hash arm)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.dedup_stream import MINHASH_P
+
+    rows = lm.select("token", "lp6").collect()
+    toks = pd.Series([r["token"] for r in rows], dtype=object)
+    h = (
+        pd.util.hash_pandas_object(toks, index=False).to_numpy()
+        % np.uint64(MINHASH_P)
+    ).astype(np.int64)
+    lp = np.asarray([r["lp6"] for r in rows], dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    return h[order], lp[order]
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    lm,
+    max_logppl: float,
+    oov_lp6: int,
+    text_col: str = "text",
+    mode: str = "exact",
+) -> DataFrame:
+    """Streaming-safe LM-perplexity quality cut: keep rows whose
+    unigram cross-entropy under a HELD-OUT LM is ``<= max_logppl``
+    (the CCNet production shape — train the LM on a clean reference
+    corpus once, score 100 TB of raw text map-side).
+
+    The batch operator (:func:`doc_logppl`) is explode → join →
+    groupBy — a streaming aggregation, disallowed mid-query in append
+    mode; this twin is MAP-SIDE like ``streaming_decontam_filter``:
+    the LM rides the Arrow UDF closure, each batch scores its docs
+    in-process — zero shuffle, zero state, composes anywhere in the
+    policy stage.  Same verdict per doc as ``doc_logppl(df, lm=lm,
+    oov_lp6=oov_lp6).filter(logppl <= max_logppl)`` — pinned by a
+    test.  Null/empty texts keep (no tokens → no evidence of low
+    quality; the batch op emits no row for them so they can never
+    exceed the cut — dropping them is a different policy knob).
+
+    ``mode='exact'`` takes the dict from :func:`collect_unigram_lm`
+    (string-keyed, oracle-parity); ``mode='hash'`` takes the arrays
+    from :func:`hash_unigram_lm` (vectorized searchsorted probe, the
+    at-scale arm)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if mode not in ("exact", "hash"):
+        raise ValueError(f"mode must be exact|hash: {mode}")
+    oov = int(oov_lp6)
+    cut = float(max_logppl)
+
+    if mode == "hash":
+        from dbus_spark.operators.dedup_stream import MINHASH_P
+
+        h_sorted, lp_arr = lm
+
+        @pandas_udf("boolean")
+        def _keep(texts: pd.Series) -> pd.Series:
+            t = texts.reset_index(drop=True)
+            toks = (
+                t.str.strip(" ")
+                .str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+                .explode()
+            )
+            keep = np.ones(len(t), dtype=bool)
+            nn = toks.notna()
+            if not nn.any():
+                return pd.Series(keep, dtype=bool)
+            toks = toks[nn]
+            doc_of = toks.index.to_numpy()
+            th = (
+                pd.util.hash_pandas_object(toks, index=False).to_numpy()
+                % np.uint64(MINHASH_P)
+            ).astype(np.int64)
+            pos = np.searchsorted(h_sorted, th)
+            pos_c = np.clip(pos, 0, len(h_sorted) - 1)
+            found = len(h_sorted) > 0
+            hit = (
+                (h_sorted[pos_c] == th) if found else np.zeros(len(th), bool)
+            )
+            lp = np.where(hit, lp_arr[pos_c] if found else 0, oov)
+            n = np.bincount(doc_of, minlength=len(t))
+            s = np.bincount(doc_of, weights=lp, minlength=len(t))
+            has = n > 0
+            score = np.round(-s[has] / (n[has] * 1e6), 4)
+            keep[has] = score <= cut
+            return pd.Series(keep, dtype=bool)
+
+    else:
+
+        @pandas_udf("boolean")
+        def _keep(texts: pd.Series) -> pd.Series:
+            import re
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            flags = []
+            for t in texts:
+                if t is None:
+                    flags.append(True)
+                    continue
+                tk = ws.split(t.strip(" "))
+                s = sum(lm.get(w, oov) for w in tk)
+                flags.append(round(-s / (len(tk) * 1e6), 4) <= cut)
+            return pd.Series(flags, dtype=bool)
+
+    return df.filter(_keep(F.col(text_col)))

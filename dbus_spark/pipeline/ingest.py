@@ -135,13 +135,19 @@ def doc_policy_stage(
     sample_seed: int = 0,
     default_rate: float = 0.0,
     redact: bool = False,
+    lm=None,
+    lm_max_logppl: float | None = None,
+    lm_oov_lp6: int | None = None,
+    lm_mode: str = "exact",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Corpus-policy stage: mixture sampling → benchmark decontam →
-    PII redaction, in that order (cheapest predicate first — the
-    codegen'd md5 sampling filter drops rows before the Arrow decontam
-    UDF ever sees them).
+    """Corpus-policy stage: mixture sampling → LM-perplexity quality
+    cut → benchmark decontam → PII redaction, in that order (cheapest
+    predicate first — the codegen'd md5 sampling filter drops rows
+    before any Arrow UDF sees them; the LM cut runs before decontam
+    because a vocab probe per token is cheaper than an n-gram roll
+    per window and typically drops more).
 
     Every step is MAP-SIDE (zero shuffle, zero state), so the stage
     composes identically into a batch job or ANYWHERE in a streaming
@@ -161,6 +167,13 @@ def doc_policy_stage(
             id_col=id_col,
             seed=sample_seed,
             default_rate=default_rate,
+        )
+    if lm is not None:
+        from dbus_spark.operators.text import lm_quality_filter
+
+        out = lm_quality_filter(
+            out, lm, max_logppl=lm_max_logppl, oov_lp6=lm_oov_lp6,
+            text_col=text_col, mode=lm_mode,
         )
     if bench_ngrams is not None:
         out = streaming_decontam_filter(

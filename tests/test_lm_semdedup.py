@@ -98,3 +98,103 @@ def test_semdedup_tie_breaks_on_id(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = semdedup(df, threshold=0.9, dim=2, centroids=cents).toPandas()
     assert list(kept.vec_id) == [3]
+
+
+def _lm_corpus(spark):
+    # reference corpus: common words; raw corpus: a fluency gradient
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(6)]
+        + [(10, "a b c the cat")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),        # fluent — keep
+            (1, "the dog ran and the cat sat"),   # fluent — keep
+            (2, "zz qq ww ee rr tt yy uu"),       # all-OOV — drop
+            (3, "the cat zz zz zz zz"),           # mixed
+            (4, None),                            # null — keeps
+            (5, "\tthe cat"),                     # tab edge: empty token
+        ],
+        "doc_id long, text string",
+    )
+    return train, raw
+
+
+def test_lm_filter_matches_batch_doc_logppl(spark):
+    """Map-side streaming LM filter keeps exactly the docs the batch
+    explode→join→groupBy operator keeps at the same cut (null text
+    keeps by convention — the batch op emits no row for it)."""
+    import math
+
+    from dbus_spark.operators.text import (
+        collect_unigram_lm,
+        doc_logppl,
+        lm_quality_filter,
+        unigram_logprobs,
+    )
+
+    train, raw = _lm_corpus(spark)
+    lm = unigram_logprobs(train)
+    n_vocab = lm.count()
+    n_total = sum(r.c for r in lm.select("c").collect())
+    oov = round(math.log(1 / (n_total + n_vocab)) * 1e6)
+    lmd = collect_unigram_lm(lm)
+    for cut in (10.0, 2.5, 0.0):
+        batch_kept = {
+            r.doc_id
+            for r in doc_logppl(raw, lm=lm, oov_lp6=oov)
+            .filter(f"logppl <= {cut}")
+            .select("doc_id")
+            .collect()
+        } | {4}  # null-text doc: no batch row, streaming keeps
+        stream_kept = {
+            r.doc_id
+            for r in lm_quality_filter(raw, lmd, cut, oov_lp6=oov)
+            .select("doc_id")
+            .collect()
+        }
+        assert stream_kept == batch_kept, cut
+
+
+def test_lm_filter_hash_mode_matches_exact(spark):
+    import math
+
+    from dbus_spark.operators.text import (
+        collect_unigram_lm,
+        hash_unigram_lm,
+        lm_quality_filter,
+        unigram_logprobs,
+    )
+
+    train, raw = _lm_corpus(spark)
+    lm = unigram_logprobs(train)
+    oov = round(math.log(1e-6) * 1e6)
+    for cut in (8.0, 3.0):
+        ke = {r.doc_id for r in lm_quality_filter(
+            raw, collect_unigram_lm(lm), cut, oov_lp6=oov).collect()}
+        kh = {r.doc_id for r in lm_quality_filter(
+            raw, hash_unigram_lm(lm), cut, oov_lp6=oov, mode="hash"
+        ).collect()}
+        assert ke == kh, cut
+
+
+def test_policy_stage_lm_knob(spark):
+    """The LM cut composes into doc_policy_stage between sampling and
+    decontam; default knobs remain the identity transform."""
+    import math
+
+    from dbus_spark.operators.text import collect_unigram_lm, unigram_logprobs
+    from dbus_spark.pipeline.ingest import doc_policy_stage
+
+    train, raw = _lm_corpus(spark)
+    lm = unigram_logprobs(train)
+    oov = round(math.log(1e-6) * 1e6)
+    out = doc_policy_stage(
+        raw, lm=collect_unigram_lm(lm), lm_max_logppl=3.0, lm_oov_lp6=oov
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 2 not in kept          # all-OOV garbage dropped
+    assert {0, 1, 4} <= kept      # fluent + null kept
+    # identity default untouched
+    assert doc_policy_stage(raw).count() == raw.count()
