@@ -590,6 +590,107 @@ def run_neardup_ingest_streaming(
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+def run_semdedup_streaming(
+    spark, sf_dir: str, target_rows: int = 100_000
+) -> dict:
+    """Streaming SemDeDup ingest (round 5): embedding stream →
+    map-side cell assignment (Arrow centroid dots) → per-cell
+    stateful semantic-dup filter (float32 matmul against rep
+    vectors) → exactly-once sink. The replicated corpus makes every
+    replica an exact semantic dup (cosine 1.0 to its rep) and the
+    generator's near-dup clusters exercise the approximate path —
+    kept_docs is the surviving semantic-rep count."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.dedup_stream import streaming_semdedup_filter
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_sd_")
+    try:
+        pdf = pd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        reps = max(1, target_rows // max(len(pdf), 1))
+        big = pd.concat(
+            [
+                pdf.assign(vec_id=pdf["vec_id"] + i * 10_000_000)
+                for i in range(reps)
+            ],
+            ignore_index=True,
+        )
+        base = pd.Timestamp("2026-01-01")
+        big["ts"] = (
+            base + pd.to_timedelta(np.arange(len(big)) % 3600, unit="s")
+        ).astype("datetime64[us]")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(big)), 8)):
+            big.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"batch-{i:05d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
+            )
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_ssp = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        # n_centroids IS the state parallelism: 16 cells -> 16 fat
+        # state partitions (the near-dup sweep's fewer-fatter lesson)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        src = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        kept = streaming_semdedup_filter(
+            src, threshold=0.4, dim=64, n_centroids=16
+        )
+        sink = IdempotentKeyedSink(
+            os.path.join(work, "out"),
+            keys=["vec_id"],
+            dedup_mode="epoch_overwrite",
+            track_counts=False,
+            coalesce_output=4,
+        )
+        t0 = time.time()
+        q = (
+            kept.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        uniq = spark.read.parquet(os.path.join(work, "out", "data")).count()
+        return {
+            "sec": round(wall, 3),
+            "rows": len(big),
+            "vecs_per_sec": round(len(big) / wall, 1),
+            "kept_docs": uniq,
+        }
+    finally:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_ssp
+            )
+        except NameError:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_fused_streaming(spark, n_convs: int = 2000) -> dict:
     """Fused vertical (BENCH.md §15): enrich → streaming near-dup
     filter → per-conv ordering → exactly-once sink, as the two-query
@@ -886,6 +987,12 @@ def main() -> None:
     nd_ingest = min(nruns, key=lambda r: r["sec"])
     nd_ingest["walls_sec"] = [r["sec"] for r in nruns]
     queries["streaming_neardup_ingest"] = nd_ingest["sec"]
+    sruns = [
+        run_semdedup_streaming(spark, sf_dir) for _ in range(repeats)
+    ]
+    semd = min(sruns, key=lambda r: r["sec"])
+    semd["walls_sec"] = [r["sec"] for r in sruns]
+    queries["streaming_semdedup"] = semd["sec"]
     cruns = [
         run_cep_streaming(spark, STREAM_TURNS_CONVS) for _ in range(repeats)
     ]
@@ -917,6 +1024,7 @@ def main() -> None:
         "streaming_doc_ingest": doc_ingest,
         "streaming_doc_ingest_policy": doc_ingest_pol,
         "streaming_neardup_ingest": nd_ingest,
+        "streaming_semdedup": semd,
         "streaming_cep": cep,
         "streaming_cep_quantified": cepq,
         "streaming_fused": fused,

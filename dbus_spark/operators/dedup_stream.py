@@ -539,3 +539,235 @@ def neardup_filter_foreach_batch(sink_fn, id_col: str = "doc_id"):
         sink_fn(resolve_neardup_verdicts(batch_df, id_col), epoch_id)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Streaming SemDeDup — the stateful twin of ``similarity.semdedup``
+# ---------------------------------------------------------------------------
+
+
+def _load_emb_cell(state):
+    (blob,) = state.get
+    blob = bytes(blob)
+    raw = pickle.loads(blob[1:] if blob[:1] == _STATE_FMT_V1 else blob)
+    ids, mat, last = raw
+    return ids, mat.reshape(len(ids), -1), last
+
+
+def _save_emb_cell(state, ids, mat, last) -> None:
+    state.update(
+        (
+            _STATE_FMT_V1
+            + pickle.dumps(
+                (ids, np.ascontiguousarray(mat).reshape(-1), last),
+                protocol=5,
+            ),
+        )
+    )
+
+
+def _make_emb_cell_fn(
+    out_cols: list[str],
+    threshold: float,
+    rep_ttl_ms: int,
+    max_reps: int,
+    ts_col: str,
+    id_field: str,
+):
+    thr = np.float32(threshold)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        cutoff = wm - rep_ttl_ms
+
+        def prune(ids, mat, last):
+            keep = last >= cutoff
+            return (ids[keep], mat[keep], last[keep]) if not keep.all() else (
+                ids, mat, last
+            )
+
+        if state.hasTimedOut:
+            ids, mat, last = prune(*_load_emb_cell(state))
+            if len(ids):
+                _save_emb_cell(state, ids, mat, last)
+                state.setTimeoutTimestamp(wm + rep_ttl_ms)
+            else:
+                state.remove()
+            return
+
+        if state.exists:
+            r_ids, r_mat, r_last = prune(*_load_emb_cell(state))
+        else:
+            r_ids = np.array([], dtype=np.int64)
+            r_mat = np.empty((0, 0), dtype=np.float32)
+            r_last = np.array([], dtype=np.int64)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if len(r_ids):
+                _save_emb_cell(state, r_ids, r_mat, r_last)
+                state.setTimeoutTimestamp(wm + rep_ttl_ms)
+            else:
+                state.remove()
+            return
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True, copy=False)
+        )
+        # earlier-arrived order, then collapse same-id redeliveries
+        # inside the batch (an id names content; cross-batch copies
+        # match their own rep at cosine ~1.0)
+        batch = (
+            batch.sort_values([ts_col, id_field], kind="stable")
+            .drop_duplicates([id_field], keep="first")
+            .reset_index(drop=True)
+        )
+        V = np.stack(batch["_sdvec"].to_numpy()).astype(np.float32)
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0  # zero vectors: cos 0 vs all — always novel
+        V /= nrm
+        if r_mat.size == 0:
+            r_mat = np.empty((0, V.shape[1]), dtype=np.float32)
+        ts_ms = (
+            batch[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        )
+        dup = np.zeros(len(batch), dtype=bool)
+        # steady-state: every row vs existing reps in one matmul
+        if len(r_mat):
+            sims = V @ r_mat.T
+            hit = sims >= thr
+            hit_mask = hit.any(axis=1)
+            if hit_mask.any():
+                upd = np.where(
+                    hit[hit_mask], ts_ms[hit_mask, None], np.int64(0)
+                ).max(axis=0)
+                r_last = np.maximum(r_last, upd)
+                dup[hit_mask] = True
+            residual = np.flatnonzero(~hit_mask)
+        else:
+            residual = np.arange(len(batch))
+        # in-batch novel-vs-novel, blockwise (forward data dependency:
+        # a row is dup iff it matches a SURVIVING earlier row) — the
+        # text filter's chunk idiom with matmuls for agreement
+        novel = np.empty(0, dtype=np.int64)
+        _CHUNK = 256
+        for c0 in range(0, len(residual), _CHUNK):
+            chunk = residual[c0 : c0 + _CHUNK]
+            cs = V[chunk]
+            if len(novel):
+                hit_prev = ((cs @ V[novel].T) >= thr).any(axis=1)
+            else:
+                hit_prev = np.zeros(len(chunk), dtype=bool)
+            am = (cs @ cs.T) >= thr
+            keep_local: list[int] = []
+            for j in range(len(chunk)):
+                if hit_prev[j] or (keep_local and am[j, keep_local].any()):
+                    dup[chunk[j]] = True
+                else:
+                    keep_local.append(j)
+            if keep_local:
+                novel = np.concatenate([novel, chunk[keep_local]])
+        if len(novel):
+            room = max(0, max_reps - len(r_ids))
+            take = novel[:room]  # overflow: under-dedup, documented
+            if len(take):
+                r_ids = np.concatenate(
+                    [r_ids, batch[id_field].to_numpy()[take]]
+                )
+                r_mat = np.vstack([r_mat, V[take]])
+                r_last = np.concatenate([r_last, ts_ms[take]])
+        if len(r_ids):
+            _save_emb_cell(state, r_ids, r_mat, r_last)
+            state.setTimeoutTimestamp(wm + rep_ttl_ms)
+        else:
+            state.remove()
+        yield batch.loc[~dup, out_cols].copy()
+
+    return fn
+
+
+def streaming_semdedup_filter(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = 11,
+    centroids: "list[list[float]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts: str = "ts",
+    watermark: str = "2 hours",
+    rep_ttl_ms: int = 2 * 3600 * 1000,
+    max_reps_per_cell: int = 100_000,
+) -> DataFrame:
+    """Streaming SemDeDup: drop a row whose embedding is a semantic
+    duplicate (cosine ≥ ``threshold``) of an EARLIER-ARRIVED row in
+    the same coarse cluster — the embedding-side member of the
+    streaming dedup family (exact `dropDuplicatesWithinWatermark` →
+    MinHash `streaming_neardup_verdicts` → this).
+
+    Returns the KEPT rows directly: unlike the banded MinHash filter
+    there is no fan-out — each vector lives in exactly ONE cell
+    (argmax centroid dot, the `ivf_assign` rule, computed in the same
+    fold-exact Arrow pass as the batch op), so no resolve step and no
+    verdict plumbing.  The batch operator can implement the paper's
+    keep-farthest-from-centroid rule because it sees all duplicates at
+    once; a stream cannot retract an emitted row, so the streaming
+    contract is FIRST-ARRIVED-WINS — the same canonical-rep semantics
+    as the MinHash filter (pinned by a sequential-replica test over
+    arbitrary micro-batch splits).
+
+    Scale shape: state is one float32 unit-vector matrix per cell
+    (`n_centroids` IS the shuffle/parallelism knob — SemDeDup at web
+    scale runs ~100k clusters, keeping cells small and state per
+    group a few MB); every comparison is a float32 matmul; reps
+    expire ``rep_ttl_ms`` after last sighting and
+    ``max_reps_per_cell`` bounds degenerate cells (overflow rows pass
+    through as kept — under-dedup, never over-drop, the family's
+    documented cap contract).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dbus_spark.operators.similarity import (
+        _centroid_dots,
+        ivf_centroids,
+    )
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        n_centroids, dim, seed
+    )
+    in_cols = df.columns
+    staged = (
+        df.withColumn("_sdots", _centroid_dots(vec_col, cents))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("_sdots"), F.array_max("_sdots")) - 1
+            ).cast("int"),
+        )
+        .drop("_sdots")
+        .withColumn("_sdvec", F.col(vec_col).cast("array<float>"))
+    )
+    out_cols = [*in_cols, "cell"]
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols]
+        + [T.StructField("cell", T.IntegerType())]
+    )
+    return (
+        staged.withWatermark(ts, watermark)
+        .groupBy("cell")
+        .applyInPandasWithState(
+            _make_emb_cell_fn(
+                out_cols,
+                threshold,
+                rep_ttl_ms,
+                max_reps_per_cell,
+                ts_col=ts,
+                id_field=id_col,
+            ),
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
