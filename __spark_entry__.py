@@ -601,6 +601,20 @@ def _doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-importance weight (arXiv:2302.03169): mean
+    per-token log-likelihood ratio between a target-domain unigram LM
+    (here: the corpus's English documents) and the raw-corpus LM —
+    positive = looks like the target.  One persisted corpus scan for
+    the raw side, one scan of the (smaller) target side, int64
+    micro-nat exact sums (operators/text.py::dsir_logratio)."""
+    from dbus_spark.operators.text import dsir_logratio
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_logratio(docs, target)
+
+
 def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -624,6 +638,20 @@ def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return grouped_quantiles(events, "value", ["event_type"], exact=True)
+
+
+def _event_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user reach — the cardinality staple,
+    same two-arm contract as event_quantiles: the oracle pins the
+    EXACT arm (countDistinct == DuckDB COUNT(DISTINCT)); the
+    exact=False arm is HyperLogLog++ (approx_count_distinct), the
+    mergeable O(1)-per-group sketch that is also the only viable
+    streaming-reach shape (operators/quantiles.py::grouped_distinct;
+    arms unit-tested against each other)."""
+    from dbus_spark.operators.quantiles import grouped_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_distinct(events, "user_id", ["event_type"], exact=True)
 
 
 def _sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": _emb_semdedup,
         "doc_shard_plan": _doc_shard_plan,
         "doc_shard_manifest": _doc_shard_manifest,
+        "doc_dsir_weight": _doc_dsir_weight,
+        "event_user_reach": _event_user_reach,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -1092,7 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
-        "doc_fingerprint": _doc_fingerprint,
         "doc_token_bpe": _doc_token_bpe,
         "doc_winnow": _doc_winnow,
         "doc_winnow_pairs": _doc_winnow_pairs,
@@ -1128,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _sales_rollup,
         "customer_running_spend": _customer_running_spend,
         "customers_no_big_orders": _customers_no_big_orders,
+        # re-tailed for the event_user_reach head insert: unchanged
+        # since its r1 green row, still oracle-checked every pytest
+        "doc_fingerprint": _doc_fingerprint,
     }
 
 
@@ -1825,6 +1857,38 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "ROUND(-s / (n_tokens * 1000000.0), 4) AS logppl FROM agg"
         ),
         "emb_semdedup": _semdedup_oracle(),
+        "doc_dsir_weight": (
+            # two add-one-smoothed unigram LMs (raw corpus vs the
+            # English-doc target); per-doc mean lp6 ratio; tokens
+            # outside a vocab take that LM's smoothing floor
+            f"WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks "
+            "  FROM documents), "
+            "ex AS (SELECT doc_id, unnest(toks) AS token FROM tk), "
+            "rc AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY token), "
+            "rt AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM rc), "
+            "rl AS (SELECT token, "
+            "  CAST(round(ln((c + 1.0) / (t + v)) * 1000000) AS BIGINT) "
+            "  AS lp6 FROM rc CROSS JOIN rt), "
+            "tex AS (SELECT unnest(toks) AS token FROM tk "
+            "  WHERE lang = 'en'), "
+            "tc AS (SELECT token, COUNT(*) AS c FROM tex GROUP BY token), "
+            "tt AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM tc), "
+            "tl AS (SELECT token, "
+            "  CAST(round(ln((c + 1.0) / (t + v)) * 1000000) AS BIGINT) "
+            "  AS lp6 FROM tc CROSS JOIN tt), "
+            "rf AS (SELECT CAST(round(ln(1.0 / (t + v)) * 1000000) "
+            "  AS BIGINT) AS fl FROM rt), "
+            "tf AS (SELECT CAST(round(ln(1.0 / (t + v)) * 1000000) "
+            "  AS BIGINT) AS fl FROM tt), "
+            "j AS (SELECT e.doc_id, "
+            "  COALESCE(rl.lp6, (SELECT fl FROM rf)) AS lr, "
+            "  COALESCE(tl.lp6, (SELECT fl FROM tf)) AS lt "
+            "  FROM ex e LEFT JOIN rl USING(token) "
+            "  LEFT JOIN tl USING(token)) "
+            "SELECT doc_id, COUNT(*) AS n_tokens, "
+            "ROUND((SUM(lt) - SUM(lr)) / (COUNT(*) * 1000000.0), 4) "
+            "  AS dsir_logratio FROM j GROUP BY doc_id"
+        ),
         "doc_shard_plan": (
             # offset-bucket shard rule: per lang in doc_id order, shard
             # = floor(start_byte_offset / 8192); docs never split
@@ -1912,6 +1976,10 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
             "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
             "ROUND(quantile_cont(value, 0.99), 4) AS p99, "
+            "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "event_user_reach": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct, "
             "COUNT(*) AS n FROM events GROUP BY 1"
         ),
         "sales_rollup": (

@@ -42,6 +42,7 @@ BATCH_QUERIES = [
     "topk_per_user",
     "event_json",
     "event_quantiles",
+    "event_user_reach",
     "sales_rollup",
     "customer_running_spend",
     "tpch_q3_lite",
@@ -69,6 +70,7 @@ BATCH_QUERIES = [
     "doc_unigram_logppl",
     "doc_shard_plan",
     "doc_shard_manifest",
+    "doc_dsir_weight",
     "corpus_idf",
     "doc_tfidf_topk",
     "doc_simhash",

@@ -55,3 +55,36 @@ def grouped_quantiles(
         ],
         F.count("*").alias("n"),
     )
+
+
+def grouped_distinct(
+    df: DataFrame,
+    value_col: str = "user_id",
+    keys: Sequence[str] = ("event_type",),
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-``keys`` distinct count of ``value_col`` (the reach /
+    cardinality staple), same two-arm contract as
+    :func:`grouped_quantiles`:
+
+    - ``exact=True`` (default, the oracle arm): ``countDistinct`` —
+      physically an expand + two-phase aggregate; the shuffle carries
+      every distinct (key, value) pair, fine while that set fits.
+    - ``exact=False``: ``approx_count_distinct`` — HyperLogLog++, a
+      mergeable fixed-size sketch per group per partition (map-side
+      combined), memory O(1.04/rsd²) per group regardless of
+      cardinality — the 100 TB arm, and the only viable shape for
+      STREAMING reach (the sketch is a monoid; exact distinct over an
+      unbounded stream needs unbounded state).
+
+    Output: ``*keys, n_distinct, n``.
+    """
+    d = (
+        F.countDistinct(value_col)
+        if exact
+        else F.approx_count_distinct(value_col, rsd)
+    )
+    return df.groupBy(*keys).agg(
+        d.alias("n_distinct"), F.count("*").alias("n")
+    )

@@ -536,3 +536,75 @@ def lm_quality_filter(
             return pd.Series(flags, dtype=bool)
 
     return df.filter(_keep(F.col(text_col)))
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169
+    — public): per document, the mean per-token log-likelihood RATIO
+    between a TARGET-domain unigram LM and the raw-corpus LM —
+    ``(id, n_tokens, dsir_logratio)`` with ``dsir_logratio =
+    round((sum(lp6_target) - sum(lp6_raw)) / (n_tokens * 1e6), 4)``.
+    Positive = looks more like the target domain than the raw corpus;
+    selection (top-k, threshold, or Gumbel resampling) is the
+    caller's policy.  (The paper uses hashed bigram features; the
+    unigram form is the oracle-replayable member, same relationship
+    as :func:`doc_logppl` to KenLM.)
+
+    Both LMs use the add-one smoothing of :func:`unigram_logprobs`;
+    tokens outside a vocabulary take that LM's smoothing floor
+    ``round(ln(1/(T+V)) * 1e6)`` — the natural limit of its own rule
+    at count 0.  Int64 micro-nat sums keep the score exact and
+    shuffle-order-independent.
+
+    Scale shape: ONE scan of the raw corpus (persisted exploded
+    projection feeds the raw LM and the rollup), one scan of the
+    (usually much smaller) target corpus; the two vocab-sized LMs
+    join token-keyed — broadcast them when they fit.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    target_text_col = target_text_col or text_col
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_lm = unigram_logprobs(df, text_col, doc_tokens=exploded)
+    tgt_lm = unigram_logprobs(target, target_text_col)
+
+    def _floor(lm: DataFrame) -> int:
+        import math
+
+        row = lm.agg(
+            F.sum("c").alias("t"), F.count("*").alias("v")
+        ).first()
+        return round(math.log(1.0 / (row["t"] + row["v"])) * 1e6)
+
+    raw_floor, tgt_floor = _floor(raw_lm), _floor(tgt_lm)
+    joined = (
+        exploded.join(
+            raw_lm.select("token", F.col("lp6").alias("_lp_raw")),
+            on="token",
+            how="left",
+        )
+        .join(
+            tgt_lm.select("token", F.col("lp6").alias("_lp_tgt")),
+            on="token",
+            how="left",
+        )
+        .select(
+            id_col,
+            F.coalesce("_lp_raw", F.lit(raw_floor)).alias("_lp_raw"),
+            F.coalesce("_lp_tgt", F.lit(tgt_floor)).alias("_lp_tgt"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            (F.sum("_lp_tgt") - F.sum("_lp_raw")) / (F.count("*") * 1e6), 4
+        ).alias("dsir_logratio"),
+    )

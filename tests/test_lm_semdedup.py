@@ -198,3 +198,25 @@ def test_policy_stage_lm_knob(spark):
     assert {0, 1, 4} <= kept      # fluent + null kept
     # identity default untouched
     assert doc_policy_stage(raw).count() == raw.count()
+
+
+def test_dsir_logratio_separates_domains(spark):
+    """Docs from the target domain score positive (more likely under
+    the target LM than the raw mixture); off-domain docs negative."""
+    from dbus_spark.operators.text import dsir_logratio
+
+    rows = (
+        [(i, "the cat sat on the mat", "en") for i in range(5)]
+        + [(10 + i, "le chat est sur le tapis", "fr") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(df, df.filter(F.col("lang") == "en")).collect()
+    }
+    assert all(got[i] > 0 for i in range(5))
+    assert all(got[10 + i] < 0 for i in range(5))
+    # exact n_tokens parity with the tokenizer
+    assert all(v is not None for v in got.values())

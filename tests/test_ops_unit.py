@@ -738,3 +738,29 @@ def test_grouped_quantiles_both_arms(spark):
 
     with pytest.raises(ValueError, match="same length"):
         grouped_quantiles(events, "value", ["event_type"], probs=(0.5,))
+
+
+def test_grouped_distinct_both_arms(spark):
+    """One distinct-count API, two physical arms: exact countDistinct
+    (oracle-pinned) vs HyperLogLog++ (mergeable sketch, the 100 TB /
+    streaming arm) within its rsd bound."""
+    from dbus_spark.operators.quantiles import grouped_distinct
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ex = {
+        r["event_type"]: r
+        for r in grouped_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    ap = {
+        r["event_type"]: r
+        for r in grouped_distinct(
+            events, "user_id", ["event_type"], exact=False, rsd=0.02
+        ).collect()
+    }
+    assert ex.keys() == ap.keys() and len(ex) >= 3
+    for k in ex:
+        assert ex[k]["n"] == ap[k]["n"]
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(ap[k]["n_distinct"] - ex[k]["n_distinct"]) <= max(
+            3, 0.06 * ex[k]["n_distinct"]
+        ), k
