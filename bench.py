@@ -770,7 +770,8 @@ def run_fused_streaming(spark, n_convs: int = 2000) -> dict:
 
 
 def run_doc_ingest_streaming(
-    spark, sf_dir: str, target_rows: int = 200_000, policy: bool = False
+    spark, sf_dir: str, target_rows: int = 200_000, policy: bool = False,
+    lm: bool = False,
 ) -> dict:
     """LLM training-data ingest, streaming form: document stream →
     Arrow-vectorized quality/token/language enrichment → quality
@@ -784,7 +785,11 @@ def run_doc_ingest_streaming(
     ``policy=True`` fuses the corpus-policy stage in front (benchmark
     decontam against an eval set built from every 13th source doc +
     PII redaction) — both map-side, so the measurement isolates the
-    policy stage's marginal cost on the same stateful pipeline."""
+    policy stage's marginal cost on the same stateful pipeline.
+    ``lm=True`` (with policy) additionally folds the unigram-LM
+    perplexity cut into the SAME Arrow pass (the LM trained on the
+    source corpus — hash arrays ride the closure), measuring the
+    full quality+decontam+LM policy at zero extra Arrow hops."""
     import numpy as np
     import pandas as pd
 
@@ -848,10 +853,32 @@ def run_doc_ingest_streaming(
             # JVM<->Python round-trip, BENCH.md §22); redaction stays a
             # separate codegen'd regexp stage (JVM-side, ~free)
             grams = hash_bench_ngrams(bench_texts, n=8)
+            lm_kw = {}
+            if lm:
+                import math
+
+                from dbus_spark.operators.text import (
+                    hash_unigram_lm,
+                    unigram_logprobs,
+                )
+
+                lm_tbl = unigram_logprobs(
+                    spark.read.parquet(
+                        os.path.join(sf_dir, "documents.parquet")
+                    )
+                )
+                agg = lm_tbl.groupBy().sum("c").collect()[0][0]
+                v = lm_tbl.count()
+                lm_kw = dict(
+                    lm=hash_unigram_lm(lm_tbl),
+                    # generous cut: drops the worst tail, keeps the bulk
+                    lm_max_logppl=12.0,
+                    lm_oov_lp6=round(math.log(1.0 / (agg + v)) * 1e6),
+                )
             src = doc_policy_stage(src, redact=True)
             cleaned = doc_ingest_stream(
                 src, quality_min=0.3, watermark="2 hours",
-                bench_ngram_hashes=grams,
+                bench_ngram_hashes=grams, **lm_kw,
             )
         else:
             cleaned = doc_ingest_stream(
@@ -983,6 +1010,13 @@ def main() -> None:
     doc_ingest_pol = min(pruns, key=lambda r: r["sec"])
     doc_ingest_pol["walls_sec"] = [r["sec"] for r in pruns]
     queries["streaming_doc_ingest_policy"] = doc_ingest_pol["sec"]
+    lruns = [
+        run_doc_ingest_streaming(spark, sf_dir, policy=True, lm=True)
+        for _ in range(repeats)
+    ]
+    doc_ingest_lm = min(lruns, key=lambda r: r["sec"])
+    doc_ingest_lm["walls_sec"] = [r["sec"] for r in lruns]
+    queries["streaming_doc_ingest_policy_lm"] = doc_ingest_lm["sec"]
     nruns = [
         run_neardup_ingest_streaming(spark, sf_dir) for _ in range(repeats)
     ]
@@ -1025,6 +1059,7 @@ def main() -> None:
         "streaming_ordered": ordered,
         "streaming_doc_ingest": doc_ingest,
         "streaming_doc_ingest_policy": doc_ingest_pol,
+        "streaming_doc_ingest_policy_lm": doc_ingest_lm,
         "streaming_neardup_ingest": nd_ingest,
         "streaming_semdedup": semd,
         "streaming_cep": cep,

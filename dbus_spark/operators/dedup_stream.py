@@ -82,17 +82,16 @@ _ROLL_B = 1_000_003
 _JAVA_WS = r"[ \t\n\x0b\f\r]+"
 
 
-def ngram_hash_arrays(
-    texts: pd.Series, shingle_n: int
-) -> "tuple[np.ndarray, np.ndarray]":
-    """Shared n-gram hash kernel: returns ``(doc_of, gram_hash)`` —
-    one int64 polynomial-roll hash per in-document token n-gram, with
-    ``doc_of`` the (non-decreasing) positional index of the owning
-    text.  This is exactly the shingle-hash stage of
-    :func:`minhash_sigs_pandas` (same tokenization parity, same roll
-    scheme, same null handling), factored out so other map-side
-    consumers (streaming decontam's hash mode) get the measured fast
-    path instead of re-growing a per-row string-concat loop."""
+def token_hash_arrays(
+    texts: pd.Series,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Tokenize-and-hash stage shared by the n-gram kernel and the
+    fused LM probe: ``(doc_of, token_hash, notna)`` — one int64 hash
+    per token (``hash_pandas_object % MINHASH_P``, the same scheme
+    ``text.hash_unigram_lm`` builds its tables with), ``doc_of`` the
+    owning text's positional index, ``notna`` False for the single
+    NaN token a null text explodes to.  Tokenization is the Java-\\s+
+    parity split (see ``dedup.shingles_exploded_arrow``)."""
     toks = (
         texts.reset_index(drop=True)
         .str.strip(" ")
@@ -104,6 +103,33 @@ def ngram_hash_arrays(
         pd.util.hash_pandas_object(toks, index=False).to_numpy()
         % np.uint64(MINHASH_P)
     ).astype(np.int64)
+    return doc_of_t, th, toks.notna().to_numpy()
+
+
+def ngram_hash_arrays(
+    texts: pd.Series, shingle_n: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Shared n-gram hash kernel: returns ``(doc_of, gram_hash)`` —
+    one int64 polynomial-roll hash per in-document token n-gram, with
+    ``doc_of`` the (non-decreasing) positional index of the owning
+    text.  This is exactly the shingle-hash stage of
+    :func:`minhash_sigs_pandas` (same tokenization parity, same roll
+    scheme, same null handling), factored out so other map-side
+    consumers (streaming decontam's hash mode) get the measured fast
+    path instead of re-growing a per-row string-concat loop."""
+    doc_of_t, th, notna = token_hash_arrays(texts)
+    return _ngram_roll(doc_of_t, th, notna, shingle_n)
+
+
+def _ngram_roll(
+    doc_of_t: np.ndarray,
+    th: np.ndarray,
+    notna: np.ndarray,
+    shingle_n: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Roll token hashes into in-document n-gram hashes — split from
+    :func:`ngram_hash_arrays` so a fused consumer that already holds
+    the token stage (the one-pass enrich+policy UDF) pays it once."""
     m = len(th) - (shingle_n - 1)
     if m <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -117,7 +143,7 @@ def ngram_hash_arrays(
     # its doc): masking the window START kills exactly those
     # windows — matters only for shingle_n == 1, where the NaN
     # "shingle" would otherwise match across null docs
-    valid &= toks.notna().to_numpy()[:m]
+    valid &= notna[:m]
     return doc_of_t[:m][valid], acc[valid]
 
 

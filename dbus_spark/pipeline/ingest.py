@@ -33,28 +33,48 @@ from dbus_spark.functions.vectorized import doc_enrich_v
 from dbus_spark.operators.text import fingerprint
 
 
-def doc_enrich_policy_udf(bench_hashes, n: int = 8, max_frac: float = 0.0):
-    """Fused enrich + decontam struct UDF: ONE Arrow pass computing
-    ``{quality, n_tokens, clean}`` — the text column crosses the
-    JVM↔Python boundary once instead of twice (BENCH.md §22 measured
-    the extra Arrow stage, not the n-gram probe, as the policy
-    stage's real micro-batch cost).  ``bench_hashes`` is the sorted
-    int64 array from ``decontam.hash_bench_ngrams``; the verdict is
-    the hash-arm semantics of ``streaming_decontam_filter``.
-    Nondeterministic for the same reason as ``doc_enrich_v``: a
-    downstream filter must not re-evaluate the pass."""
+def doc_enrich_policy_udf(
+    bench_hashes,
+    n: int = 8,
+    max_frac: float = 0.0,
+    lm=None,
+    lm_max_logppl: "float | None" = None,
+    lm_oov_lp6: "int | None" = None,
+):
+    """Fused enrich + decontam (+ optional LM-perplexity cut) struct
+    UDF: ONE Arrow pass computing ``{quality, n_tokens, clean}`` —
+    the text column crosses the JVM↔Python boundary once instead of
+    two or three times (BENCH.md §22 measured the extra Arrow stage,
+    not the probes, as the policy stage's real micro-batch cost).
+    ``bench_hashes`` is the sorted int64 array from
+    ``decontam.hash_bench_ngrams``; the verdict is the hash-arm
+    semantics of ``streaming_decontam_filter``.  ``lm`` (the arrays
+    from ``text.hash_unigram_lm``) folds the hash-arm semantics of
+    ``text.lm_quality_filter`` into the same pass — the token hashes
+    are computed ONCE and feed both the n-gram roll and the LM probe
+    (`dedup_stream.token_hash_arrays`).  Nondeterministic for the
+    same reason as ``doc_enrich_v``: a downstream filter must not
+    re-evaluate the pass."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
     from dbus_spark.functions.vectorized import doc_enrich_frame
-    from dbus_spark.operators.dedup_stream import ngram_hash_arrays
+    from dbus_spark.operators.dedup_stream import (
+        _ngram_roll,
+        token_hash_arrays,
+    )
+
+    if lm is not None and (lm_max_logppl is None or lm_oov_lp6 is None):
+        raise ValueError("lm requires lm_max_logppl and lm_oov_lp6")
+    h_sorted, lp_arr = lm if lm is not None else (None, None)
 
     @pandas_udf("struct<quality: double, n_tokens: int, clean: boolean>")
     def _f(s: pd.Series) -> pd.DataFrame:
         out = doc_enrich_frame(s)
         t = s.reset_index(drop=True)
-        doc_of, grams = ngram_hash_arrays(t, n)
+        doc_of_t, th, notna = token_hash_arrays(t)
+        doc_of, grams = _ngram_roll(doc_of_t, th, notna, n)
         keep = np.ones(len(t), dtype=bool)
         if len(grams):
             key = (doc_of.astype(np.int64) << np.int64(31)) | grams
@@ -66,6 +86,28 @@ def doc_enrich_policy_udf(bench_hashes, n: int = 8, max_frac: float = 0.0):
             n_hit = np.bincount(d, weights=hit, minlength=len(t))
             hasg = n_grams > 0
             keep[hasg] = n_hit[hasg] / n_grams[hasg] <= max_frac
+        if lm is not None and notna.any():
+            tdoc = doc_of_t[notna]
+            tth = th[notna]
+            pos = np.searchsorted(h_sorted, tth)
+            pos_c = np.clip(pos, 0, max(len(h_sorted) - 1, 0))
+            in_vocab = (
+                (h_sorted[pos_c] == tth)
+                if len(h_sorted)
+                else np.zeros(len(tth), bool)
+            )
+            lp = np.where(
+                in_vocab,
+                lp_arr[pos_c] if len(h_sorted) else 0,
+                int(lm_oov_lp6),
+            )
+            nt = np.bincount(tdoc, minlength=len(t))
+            st = np.bincount(tdoc, weights=lp, minlength=len(t))
+            has = nt > 0
+            score = np.round(-st[has] / (nt[has] * 1e6), 4)
+            lm_keep = np.ones(len(t), dtype=bool)
+            lm_keep[has] = score <= float(lm_max_logppl)
+            keep &= lm_keep
         out["clean"] = keep
         return out
 
@@ -83,6 +125,9 @@ def doc_ingest_stream(
     bench_ngram_hashes=None,
     ngram_n: int = 8,
     max_contam_frac: float = 0.0,
+    lm=None,
+    lm_max_logppl: "float | None" = None,
+    lm_oov_lp6: "int | None" = None,
 ) -> DataFrame:
     """Enrich → quality-filter → (optionally) streaming-dedup a
     document stream. Works on batch DataFrames too (the watermark/
@@ -91,7 +136,10 @@ def doc_ingest_stream(
     ``bench_ngram_hashes`` (from ``decontam.hash_bench_ngrams``)
     fuses benchmark decontamination into the SAME Arrow pass as the
     enrichment — contaminated docs drop alongside low-quality ones at
-    zero extra serialization cost.
+    zero extra serialization cost.  ``lm`` (from
+    ``text.hash_unigram_lm``, with ``lm_max_logppl``/``lm_oov_lp6``)
+    folds the LM-perplexity cut into that same pass too: one token
+    hashing feeds quality, decontam AND the LM probe.
 
     Returns the cleaned frame with added columns ``quality``,
     ``n_tokens``, ``fp``; feed it to ``writeStream.foreachBatch(
@@ -99,7 +147,12 @@ def doc_ingest_stream(
     exactly-once landing."""
     if bench_ngram_hashes is not None:
         enrich = doc_enrich_policy_udf(
-            bench_ngram_hashes, n=ngram_n, max_frac=max_contam_frac
+            bench_ngram_hashes,
+            n=ngram_n,
+            max_frac=max_contam_frac,
+            lm=lm,
+            lm_max_logppl=lm_max_logppl,
+            lm_oov_lp6=lm_oov_lp6,
         )
         out = (
             src.withColumn("e", enrich(F.col(text_col)))

@@ -324,3 +324,71 @@ def test_bloom_bitset_is_smaller_than_hash_array(spark):
     from dbus_spark.operators.decontam import bloom_probe
     eb = bloom_bench_ngrams([], n=8)
     assert not bloom_probe(np.array([1, 2, 3], dtype=np.int64), eb).any()
+
+
+def test_fused_ingest_policy_lm_matches_staged(spark):
+    """doc_ingest_stream(..., lm=...) — decontam AND the LM cut in the
+    one Arrow pass — keeps exactly the docs the staged composition
+    (lm_quality_filter → streaming_decontam_filter → ingest) keeps."""
+    import math
+
+    from dbus_spark.operators.decontam import (
+        hash_bench_ngrams,
+        streaming_decontam_filter,
+    )
+    from dbus_spark.operators.text import (
+        hash_unigram_lm,
+        lm_quality_filter,
+        unigram_logprobs,
+    )
+    from dbus_spark.pipeline.ingest import doc_ingest_stream
+
+    def text(i):
+        if i % 7 == 0:
+            return "the cat sat on the mat again and again"  # fluent
+        if i % 7 == 1:
+            return "zz" + " ".join(f"q{i}_{j}" for j in range(10))  # OOV
+        return " ".join(f"w{i}_{j}" for j in range(30))
+
+    rows = [(i, text(i)) for i in range(60)]
+    rows[9] = (9, "the quick brown fox " * 8)  # contaminated vs bench
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = hash_bench_ngrams(["the quick brown fox " * 8], n=3)
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat again and again " * 3)],
+        "doc_id long, text string",
+    )
+    lm_tbl = unigram_logprobs(train)
+    lm = hash_unigram_lm(lm_tbl)
+    oov = round(math.log(1e-7) * 1e6)
+    cut = 14.0
+
+    fused = {
+        r.doc_id
+        for r in doc_ingest_stream(
+            df, quality_min=0.0, dedup=False,
+            bench_ngram_hashes=grams, ngram_n=3,
+            lm=lm, lm_max_logppl=cut, lm_oov_lp6=oov,
+        ).select("doc_id").collect()
+    }
+    staged = {
+        r.doc_id
+        for r in doc_ingest_stream(
+            streaming_decontam_filter(
+                lm_quality_filter(df, lm, cut, oov_lp6=oov, mode="hash"),
+                grams, n=3, mode="hash",
+            ),
+            quality_min=0.0, dedup=False,
+        ).select("doc_id").collect()
+    }
+    assert fused == staged
+    assert 9 not in fused            # decontam still applies
+    # the LM cut did real work: some docs dropped on perplexity alone
+    no_lm = {
+        r.doc_id
+        for r in doc_ingest_stream(
+            df, quality_min=0.0, dedup=False,
+            bench_ngram_hashes=grams, ngram_n=3,
+        ).select("doc_id").collect()
+    }
+    assert fused < no_lm
