@@ -164,6 +164,17 @@ def main() -> None:
                 # 12-token re-chunk mirrors the doc_paragraph_dedup
                 # query. hash_key=True is the 100 TB arm under test.
                 "doc_span_dedup": lambda: _span_dedup_chunked(docs()),
+                # SemDeDup: cluster count must GROW with the corpus
+                # (the paper's geometry and the generator's own
+                # occupancy-constant rule) — a fixed n_centroids
+                # makes cell occupancy linear and the within-cell
+                # pair join quadratic BY CONSTRUCTION; ~125 vecs/cell
+                # keeps the task the operator's, threshold 0.8 as in
+                # the emb_neardup_lsh cell (linear true density)
+                "emb_semdedup": lambda: S.semdedup(
+                    emb(), threshold=0.8, dim=64,
+                    n_centroids=max(16, n_emb // 125),
+                ),
             }.items():
                 sec, rows = _time_best(fn, reps)
                 cell[name] = {"sec": round(sec, 3), "pairs": rows}
@@ -178,7 +189,7 @@ def main() -> None:
         exponents = {}
         for q in ("doc_lsh_pairs", "doc_jaccard_pairs",
                   "doc_winnow_pairs", "emb_neardup_lsh",
-                  "doc_span_dedup"):
+                  "doc_span_dedup", "emb_semdedup"):
             n_lo = results[lo]["n_docs" if q.startswith("doc") else "n_emb"]
             n_hi = results[hi]["n_docs" if q.startswith("doc") else "n_emb"]
             t_lo, t_hi = results[lo][q]["sec"], results[hi][q]["sec"]

@@ -399,3 +399,24 @@ def test_doc_logppl_single_corpus_scan(spark):
     q = entrymod.queries()["doc_unigram_logppl"](spark, SF_DIR)
     plan = _plan(q)
     assert "InMemoryTableScan" in plan
+
+
+def test_dsir_single_raw_corpus_scan(spark):
+    """dsir_logratio persists the raw-corpus explode and feeds both
+    the raw LM and the rollup from it — the raw text column must not
+    be re-scanned (same single-pass contract as tfidf/logppl)."""
+    q = entrymod.queries()["doc_dsir_weight"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "InMemoryTableScan" in plan
+
+
+def test_user_reach_partial_aggregation(spark):
+    """Exact distinct reach must plan as expand + two-phase hash
+    aggregate (map-side partials), never a raw shuffle of all rows."""
+    q = entrymod.queries()["event_user_reach"](spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # map-side partial on (key, value), then the distinct-merge — the
+    # shuffle carries distinct pairs, not raw rows
+    assert "partial_count(1)" in plan
+    assert "partial_count(distinct" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
