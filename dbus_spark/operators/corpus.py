@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "sample_mixture",
     "sample_token_budget",
+    "streaming_token_budget_filter",
     "mixture_report",
     "pack_sequences",
     "pack_sequences_dense",
@@ -593,3 +594,87 @@ def export_shards(
         .parquet(path)
     )
     return shard_manifest(plan, strata_col)
+
+
+def streaming_token_budget_filter(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming token-budget admission: keep a document iff its
+    tokens still FIT its stratum's remaining budget — the stream-side
+    twin of :func:`sample_token_budget` ("ingest until each stratum's
+    token budget fills").  Strata absent from ``budgets`` drop.
+
+    Semantics differ from the batch op exactly where a stream must:
+    the batch rule cuts a PREFIX of the md5-draw order (a global
+    order only a batch can see); the streaming rule admits greedily
+    in ARRIVAL order — (ts, id) within a micro-batch, state across
+    batches — and skips-and-continues: a document too big for the
+    remainder drops while later smaller ones may still fit (fills
+    budgets tighter; pinned by a sequential-replica test over
+    arbitrary micro-batch splits).
+
+    Scale shape: the token count is a codegen'd expression computed
+    BEFORE the shuffle; the only state is ONE int64 per stratum (the
+    running total), so a million-strata corpus carries ~8 MB of state
+    total; the shuffle is keyed by the stratum (strata count is the
+    parallelism bound, same knob note as the streaming SemDeDup's
+    cells).  No watermark or TTL: a budget is a job-lifetime fact,
+    not a window.
+    """
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dbus_spark.operators.text import token_count
+
+    in_cols = df.columns
+    staged = df.withColumn("_tb_n", token_count(text_col).cast("long"))
+    out_schema = T.StructType([df.schema[c] for c in in_cols])
+    budget_map = {k: int(v) for k, v in budgets.items()}
+
+    def fn(key, pdfs, state):
+        (stratum,) = key
+        budget = budget_map.get(stratum)
+        chunks = [p for p in pdfs if len(p)]
+        if budget is None or not chunks:
+            return
+        cum = pickle.loads(bytes(state.get[0])) if state.exists else 0
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True, copy=False)
+        )
+        batch = batch.sort_values([ts, id_col], kind="stable").reset_index(
+            drop=True
+        )
+        keep = []
+        for n in batch["_tb_n"].to_numpy():
+            if cum + n <= budget:
+                cum += int(n)
+                keep.append(True)
+            else:
+                keep.append(False)
+        state.update((pickle.dumps(cum),))
+        out = batch.loc[keep, in_cols]
+        if len(out):
+            yield out
+
+    return (
+        staged.groupBy(strata_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [T.StructField("blob", T.BinaryType())]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -301,3 +301,132 @@ def test_export_shards_roundtrip(spark, tmp_path):
            .set_index(["lang", "shard_idx"])["count"])
     for _, r in man.iterrows():
         assert per[(r.lang, r.shard_idx)] == r.n_docs
+
+
+def _run_budget_stream(spark, pdf, tmp_path, n_files, budgets):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.corpus import streaming_token_budget_filter
+
+    in_dir = tmp_path / f"in_{n_files}"
+    os.makedirs(in_dir)
+    for i, idx in enumerate(np.array_split(np.arange(len(pdf)), n_files)):
+        pdf.iloc[idx].to_parquet(in_dir / f"b-{i:04d}.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    kept = streaming_token_budget_filter(src, budgets)
+    got = []
+    q = (
+        kept.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{n_files}"))
+        .foreachBatch(lambda b, e: got.append(b.select("doc_id").toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    import pandas as pd
+
+    out = pd.concat(got, ignore_index=True) if got else pd.DataFrame(
+        {"doc_id": []}
+    )
+    assert out["doc_id"].is_unique
+    return set(out["doc_id"])
+
+
+def _budget_corpus():
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        (i, " ".join(["w"] * (3 + i % 9)), ["en", "fr", "xx"][i % 3])
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["ts"] = (
+        pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(60), unit="s")
+    ).astype("datetime64[us]")
+    return pdf
+
+
+def _budget_replica(pdf, budgets):
+    keep, cum = set(), {}
+    for _, r in pdf.sort_values(["ts", "doc_id"]).iterrows():
+        b = budgets.get(r["lang"])
+        if b is None:
+            continue
+        n = len(r["text"].split())
+        if cum.get(r["lang"], 0) + n <= b:
+            cum[r["lang"]] = cum.get(r["lang"], 0) + n
+            keep.add(r["doc_id"])
+    return keep
+
+
+def test_streaming_token_budget_matches_replica(spark, tmp_path):
+    pdf = _budget_corpus()
+    budgets = {"en": 40, "fr": 25}
+    expected = _budget_replica(pdf, budgets)
+    assert 0 < len(expected) < len(pdf)
+    # skip-and-continue must actually trigger: some doc overflows but a
+    # later smaller one still fits
+    assert _run_budget_stream(spark, pdf, tmp_path, 1, budgets) == expected
+    assert _run_budget_stream(spark, pdf, tmp_path, 5, budgets) == expected
+
+
+def test_streaming_token_budget_kill_resume(spark, tmp_path):
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.corpus import streaming_token_budget_filter
+
+    pdf = _budget_corpus()
+    budgets = {"en": 40, "fr": 25}
+    expected = _budget_replica(pdf, budgets)
+    in_dir = tmp_path / "in_kr"
+    os.makedirs(in_dir)
+    for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+        pdf.iloc[idx].to_parquet(in_dir / f"b-{i:04d}.parquet", index=False)
+
+    def start(got):
+        src = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        return (
+            streaming_token_budget_filter(src, budgets)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_kr"))
+            .foreachBatch(
+                lambda b, e: got.append(b.select("doc_id").toPandas())
+            )
+            .start()
+        )
+
+    got = []
+    q = start(got)
+    while len(got) < 2:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    q = start(got)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    # epoch replay at the foreachBatch boundary is at-least-once; the
+    # budget state itself must not double-count (key set == replica)
+    assert set(out["doc_id"]) == expected
