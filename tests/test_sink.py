@@ -144,3 +144,54 @@ def test_empty_sink_read_schema_matches_populated_types(spark, tmp_path):
         "window_start": "timestamp",
         "conv_id": "string",
     }
+
+
+def test_batch_backfill_then_streaming_handoff(spark, tmp_path):
+    """The lambda-bootstrap pattern: a BATCH backfill lands through the
+    same IdempotentKeyedSink a streaming query later writes to, the
+    stream's replay OVERLAPS the backfilled range, and the sink's
+    anti-join mode absorbs the overlap — final contents are the exact
+    distinct key set, no dups, no gaps."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    rows = [(f"c{i % 7}", i // 7, f"t-{i}") for i in range(70)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+        pdf.iloc[idx].to_parquet(in_dir / f"b-{i:04d}.parquet", index=False)
+
+    sink = IdempotentKeyedSink(
+        str(tmp_path / "out"), keys=["conv_id", "turn_idx"]
+    )
+    # batch backfill: the first half of the corpus, one epoch
+    backfill = spark.createDataFrame(pdf.iloc[:35])
+    sink.foreach_batch()(backfill, 0)
+    assert sink.read(spark).count() == 35
+
+    # streaming handoff replays EVERYTHING (overlap with the backfill)
+    src = (
+        spark.readStream.schema("conv_id string, turn_idx long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    out = sink.read(spark).toPandas()
+    assert len(out) == 70
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()
+    got = set(zip(out.conv_id, out.turn_idx, out.text))
+    assert got == set(zip(pdf.conv_id, pdf.turn_idx, pdf.text))
