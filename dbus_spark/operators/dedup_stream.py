@@ -648,6 +648,24 @@ def _make_emb_cell_fn(
             .drop_duplicates([id_field], keep="first")
             .reset_index(drop=True)
         )
+        # a null vector has no dup evidence: emit as kept, never a rep
+        # (a zero-vector rep would burn cap space and match nothing) —
+        # and never let one row's null kill the whole micro-batch (the
+        # ADVICE-r4 null-signature lesson)
+        nullv = batch["_sdvec"].isna()
+        if nullv.any():
+            null_rows = batch.loc[nullv, out_cols].copy()
+            batch = batch.loc[~nullv].reset_index(drop=True)
+            if not len(batch):
+                if len(r_ids):
+                    _save_emb_cell(state, r_ids, r_mat, r_last)
+                    state.setTimeoutTimestamp(wm + rep_ttl_ms)
+                else:
+                    state.remove()
+                yield null_rows
+                return
+        else:
+            null_rows = None
         V = np.stack(batch["_sdvec"].to_numpy()).astype(np.float32)
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0  # zero vectors: cos 0 vs all — always novel
@@ -707,7 +725,10 @@ def _make_emb_cell_fn(
             state.setTimeoutTimestamp(wm + rep_ttl_ms)
         else:
             state.remove()
-        yield batch.loc[~dup, out_cols].copy()
+        out = batch.loc[~dup, out_cols]
+        if null_rows is not None:
+            out = pd.concat([out, null_rows], ignore_index=True)
+        yield out.copy()
 
     return fn
 

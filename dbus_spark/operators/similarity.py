@@ -476,6 +476,17 @@ def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> Column:
     def cdots(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
+        # a null vector must not kill the whole Arrow batch (the
+        # null-signature lesson): stand in a zero vector — dots all 0,
+        # deterministic first-cell argmax; streaming consumers carry
+        # the original null alongside and handle it explicitly
+        na = vecs.isna()
+        if na.any():
+            vecs = vecs.copy()
+            vecs[na] = pd.Series(
+                [np.zeros(C.shape[1], dtype=np.float64)] * int(na.sum()),
+                index=vecs.index[na],
+            )
         return pd.Series(list(_fold_dots(_stack(vecs), C)))
 
     return cdots(F.col(vec_col) if isinstance(vec_col, str) else vec_col)

@@ -196,3 +196,20 @@ def test_cap_under_dedups_never_over_drops(spark, tmp_path):
     os.makedirs(tmp2)
     kept2 = _run_stream(spark, pdf2, tmp2, 1, max_reps_per_cell=1)
     assert kept2 == {0, 1}  # overflow row passes as kept (under-dedup)
+
+
+def test_null_vector_kept_never_crashes(spark, tmp_path):
+    """A null embedding must pass through as kept (no dup evidence)
+    without killing the micro-batch or burning a rep slot."""
+    base = np.zeros(DIM, dtype=np.float32)
+    base[0] = 1.0
+    pdf = pd.DataFrame(
+        [(0, base), (1, None), (2, base.copy())],
+        columns=["vec_id", "embedding"],
+    )
+    pdf["ts"] = (
+        pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(3), unit="s")
+    ).astype("datetime64[us]")
+    kept = _run_stream(spark, pdf, tmp_path, 1)
+    # 0 is the rep, 2 is its dup, 1 (null) passes as kept
+    assert kept == {0, 1}
