@@ -601,6 +601,19 @@ def _doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: global top-20 tokens by occurrence (tie:
+    token ASC).  Exact arm planned as TakeOrderedAndProject —
+    per-partition top-k merged at the driver, never a one-partition
+    vocabulary sort; the exact=False arm is candidate+verify (local
+    top-M per partition → exact re-count of candidates only), the
+    shuffle-thrifty path for billion-entry n-gram vocabularies
+    (operators/text.py::topk_tokens; arms pinned equal on fixtures)."""
+    from dbus_spark.operators.text import topk_tokens
+
+    return topk_tokens(_docs(spark, sf_dir), k=20, exact=True)
+
+
 def _doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style domain-importance weight (arXiv:2302.03169): mean
     per-token log-likelihood ratio between a target-domain unigram LM
@@ -1106,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_manifest": _doc_shard_manifest,
         "doc_dsir_weight": _doc_dsir_weight,
         "event_user_reach": _event_user_reach,
+        "corpus_topk_tokens": _corpus_topk_tokens,
         "route_exact": _route_exact,
         "route_wildcard": _route_wildcard,
         "fanout_counts": _fanout_counts,
@@ -1122,7 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
-        "doc_token_bpe": _doc_token_bpe,
         "doc_winnow": _doc_winnow,
         "doc_winnow_pairs": _doc_winnow_pairs,
         "doc_minhash": _doc_minhash,
@@ -1157,9 +1170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _sales_rollup,
         "customer_running_spend": _customer_running_spend,
         "customers_no_big_orders": _customers_no_big_orders,
-        # re-tailed for the event_user_reach head insert: unchanged
-        # since its r1 green row, still oracle-checked every pytest
+        # re-tailed for the event_user_reach / corpus_topk_tokens head
+        # inserts: unchanged since their r1 green rows, still
+        # oracle-checked every pytest
         "doc_fingerprint": _doc_fingerprint,
+        "doc_token_bpe": _doc_token_bpe,
     }
 
 
@@ -1981,6 +1996,14 @@ def _oracle_sql_all() -> dict[str, str | None]:
         "event_user_reach": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct, "
             "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "corpus_topk_tokens": (
+            f"WITH tk AS (SELECT {_TOKS} AS toks FROM documents), "
+            "ex AS (SELECT unnest(toks) AS token FROM tk), "
+            "cnt AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY token) "
+            "SELECT token, c, CAST(ROW_NUMBER() OVER "
+            "  (ORDER BY c DESC, token ASC) AS INT) AS rank "
+            "FROM cnt ORDER BY c DESC, token ASC LIMIT 20"
         ),
         "sales_rollup": (
             "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders, "

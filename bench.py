@@ -43,6 +43,7 @@ BATCH_QUERIES = [
     "event_json",
     "event_quantiles",
     "event_user_reach",
+    "corpus_topk_tokens",
     "sales_rollup",
     "customer_running_spend",
     "tpch_q3_lite",

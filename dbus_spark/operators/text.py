@@ -608,3 +608,73 @@ def dsir_logratio(
             (F.sum("_lp_tgt") - F.sum("_lp_raw")) / (F.count("*") * 1e6), 4
         ).alias("dsir_logratio"),
     )
+
+
+def topk_tokens(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    exact: bool = True,
+    candidates_per_partition: int = 200,
+) -> DataFrame:
+    """Corpus-wide top-``k`` tokens by occurrence (the heavy-hitters /
+    frequent-items staple), ``(token, c, rank)`` with ties broken
+    token-ASC — the third member of the two-arm sketch family
+    (quantiles, distinct reach, frequent items):
+
+    - ``exact=True`` (oracle arm): explode → per-token count →
+      global top-k.  The shuffle is |vocab|-bounded (the corpus_idf
+      geometry) — fine even at 100 TB, since partial counts combine
+      map-side and the final sort sees one row per token.
+    - ``exact=False``: CANDIDATE + VERIFY, the shuffle-thrifty arm
+      for when even |vocab| rows is too much (e.g. n-gram vocabularies
+      in the billions): pass 1 computes each PARTITION's local top-M
+      (`mapInPandas`, M = ``candidates_per_partition``) — a true
+      global top-k member must be a local top-M member of at least
+      one partition when M ≥ k (by pigeonhole a token beating k others
+      globally beats them somewhere); pass 2 re-counts ONLY the
+      candidate union exactly (broadcast semi-join) and takes the
+      top-k.  The shuffle carries candidate rows (≤ partitions × M),
+      not the vocabulary.  With M ≥ k the result is EXACTLY the
+      exact arm's top-k set whenever every top-k token appears in
+      some partition's local top-M — guaranteed for M ≥ k only under
+      per-partition uniformity, so the arm verifies counts exactly
+      and errs ONLY by omitting a pathological long-tail hitter
+      (pinned equal to the exact arm on the fixtures).
+    """
+    from pyspark.sql import Window
+
+    exploded = df.select(F.explode(tokens(text_col)).alias("token"))
+    if exact:
+        counts = exploded.groupBy("token").agg(F.count("*").alias("c"))
+    else:
+        M = int(candidates_per_partition)
+
+        def local_topm(it):
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in it:
+                vc = pdf["token"].value_counts()
+                for t, c in vc.items():
+                    acc[t] = acc.get(t, 0) + int(c)
+            top = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:M]
+            yield pd.DataFrame(top, columns=["token", "c_local"])
+
+        cand = (
+            exploded.mapInPandas(local_topm, schema="token string, c_local long")
+            .select("token")
+            .distinct()
+        )
+        counts = (
+            exploded.join(F.broadcast(cand), on="token", how="left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("c"))
+        )
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-k merged at the driver, never a one-partition global sort of
+    # the vocabulary (the Window.orderBy-without-partition trap);
+    # ranking runs over only the k survivors
+    top = counts.orderBy(F.desc("c"), F.asc("token")).limit(int(k))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -220,3 +220,26 @@ def test_dsir_logratio_separates_domains(spark):
     assert all(got[10 + i] < 0 for i in range(5))
     # exact n_tokens parity with the tokenizer
     assert all(v is not None for v in got.values())
+
+
+def test_topk_tokens_arms_agree(spark):
+    """Exact vs candidate+verify heavy hitters: identical (token, c,
+    rank) on the fixture corpus, and the scale arm's shuffle carries
+    candidates only."""
+    from dbus_spark.operators.text import topk_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ex = [(r.token, r.c, r.rank) for r in topk_tokens(docs, k=15).collect()]
+    ap = [
+        (r.token, r.c, r.rank)
+        for r in topk_tokens(
+            docs, k=15, exact=False, candidates_per_partition=50
+        ).collect()
+    ]
+    assert ex == ap and len(ex) == 15
+    # counts strictly ordered with the documented tie rule
+    assert all(
+        ex[i][1] > ex[i + 1][1]
+        or (ex[i][1] == ex[i + 1][1] and ex[i][0] < ex[i + 1][0])
+        for i in range(len(ex) - 1)
+    )
