@@ -420,3 +420,12 @@ def test_user_reach_partial_aggregation(spark):
     assert "partial_count(1)" in plan
     assert "partial_count(distinct" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_topk_tokens_plans_take_ordered(spark):
+    """The exact heavy-hitters arm must plan as TakeOrderedAndProject
+    (per-partition top-k merged at the driver) — a one-partition
+    global Window sort of the vocabulary is the failure mode."""
+    q = entrymod.queries()["corpus_topk_tokens"](spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
