@@ -678,3 +678,65 @@ def topk_tokens(
     top = counts.orderBy(F.desc("c"), F.asc("token")).limit(int(k))
     w = Window.orderBy(F.desc("c"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def streaming_dsir_filter(
+    df: DataFrame,
+    raw_lm: tuple,
+    target_lm: tuple,
+    min_logratio: float,
+    raw_floor_lp6: int,
+    target_floor_lp6: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming DSIR selection: keep rows whose importance weight
+    (:func:`dsir_logratio`'s mean per-token target-vs-raw
+    log-likelihood ratio) is ``>= min_logratio`` — the map-side twin
+    that completes the curation family's batch↔stream symmetry
+    (mixture, token budget, decontam, LM quality, near-dup, semantic
+    — and now domain selection).
+
+    Both LMs ride the closure as the hashed arrays of
+    :func:`hash_unigram_lm` (~16 bytes per vocab entry each); tokens
+    outside a vocabulary take that LM's smoothing floor, exactly the
+    batch operator's rule, so verdicts match ``dsir_logratio(...)
+    .filter(dsir_logratio >= cut)`` short of a token-hash collision
+    (pinned by a test).  Null/token-less texts keep (no evidence),
+    mirroring :func:`lm_quality_filter`.  Zero shuffle, zero state.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from dbus_spark.operators.dedup_stream import token_hash_arrays
+
+    rh, rlp = raw_lm
+    th_s, tlp = target_lm
+    cut = float(min_logratio)
+    rfl, tfl = int(raw_floor_lp6), int(target_floor_lp6)
+
+    def _probe(h_sorted, lp_arr, hashes, floor):
+        if not len(h_sorted):
+            return np.full(len(hashes), floor, dtype=np.int64)
+        pos = np.clip(np.searchsorted(h_sorted, hashes), 0, len(h_sorted) - 1)
+        hit = h_sorted[pos] == hashes
+        return np.where(hit, lp_arr[pos], floor)
+
+    @pandas_udf("boolean")
+    def _keep(texts: pd.Series) -> pd.Series:
+        t = texts.reset_index(drop=True)
+        doc_of, th, notna = token_hash_arrays(t)
+        keep = np.ones(len(t), dtype=bool)
+        if not notna.any():
+            return pd.Series(keep, dtype=bool)
+        doc_of, th = doc_of[notna], th[notna]
+        lr = _probe(rh, rlp, th, rfl)
+        lt = _probe(th_s, tlp, th, tfl)
+        n = np.bincount(doc_of, minlength=len(t))
+        s = np.bincount(doc_of, weights=(lt - lr).astype(np.float64),
+                        minlength=len(t))
+        has = n > 0
+        score = np.round(s[has] / (n[has] * 1e6), 4)
+        keep[has] = score >= cut
+        return pd.Series(keep, dtype=bool)
+
+    return df.filter(_keep(F.col(text_col)))

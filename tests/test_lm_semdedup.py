@@ -243,3 +243,59 @@ def test_topk_tokens_arms_agree(spark):
         or (ex[i][1] == ex[i + 1][1] and ex[i][0] < ex[i + 1][0])
         for i in range(len(ex) - 1)
     )
+
+
+def test_streaming_dsir_filter_matches_batch(spark):
+    """Map-side DSIR selection keeps exactly the docs the batch
+    two-LM operator keeps at the same cut (floors = each LM's
+    smoothing floor, the batch rule)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbus_spark.operators.text import (
+        dsir_logratio,
+        hash_unigram_lm,
+        streaming_dsir_filter,
+        unigram_logprobs,
+    )
+
+    rows = (
+        [(i, "the cat sat on the mat", "en") for i in range(6)]
+        + [(10 + i, "le chat est sur le tapis", "fr") for i in range(6)]
+        + [(20 + i, f"w{i} mixed the cat tapis", "xx") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter(F.col("lang") == "en")
+    raw_tbl = unigram_logprobs(df)
+    tgt_tbl = unigram_logprobs(target)
+
+    def floor(tbl):
+        r = tbl.agg(F.sum("c").alias("t"), F.count("*").alias("v")).first()
+        return round(math.log(1.0 / (r["t"] + r["v"])) * 1e6)
+
+    for cut in (0.0, -1.0, 1.5):
+        batch_kept = {
+            r.doc_id
+            for r in dsir_logratio(df, target)
+            .filter(f"dsir_logratio >= {cut}")
+            .select("doc_id")
+            .collect()
+        }
+        stream_kept = {
+            r.doc_id
+            for r in streaming_dsir_filter(
+                df,
+                hash_unigram_lm(raw_tbl),
+                hash_unigram_lm(tgt_tbl),
+                cut,
+                raw_floor_lp6=floor(raw_tbl),
+                target_floor_lp6=floor(tgt_tbl),
+            )
+            .select("doc_id")
+            .collect()
+        }
+        assert stream_kept == batch_kept, cut
+    # the selection is real: target-domain docs survive a 0 cut,
+    # off-domain drop
+    assert {i for i in range(6)} <= stream_kept or cut != 0.0

@@ -213,3 +213,31 @@ def test_null_vector_kept_never_crashes(spark, tmp_path):
     kept = _run_stream(spark, pdf, tmp_path, 1)
     # 0 is the rep, 2 is its dup, 1 (null) passes as kept
     assert kept == {0, 1}
+
+
+def test_emb_cell_state_format_versioned():
+    """The emb-cell blob carries the 1-byte version tag and decodes
+    both the tagged and the legacy untagged pickle — the checkpoint
+    wire-format contract the ordering/minhash cells already pin."""
+    import pickle
+
+    from dbus_spark.operators.dedup_stream import (
+        _STATE_FMT_V1,
+        _load_emb_cell,
+    )
+
+    ids = np.array([3, 7], dtype=np.int64)
+    mat = np.arange(8, dtype=np.float32).reshape(2, 4)
+    last = np.array([100, 200], dtype=np.int64)
+    payload = (ids, np.ascontiguousarray(mat).reshape(-1), last)
+
+    class FakeState:
+        def __init__(self, blob):
+            self.get = (blob,)
+
+    tagged = FakeState(_STATE_FMT_V1 + pickle.dumps(payload, protocol=5))
+    legacy = FakeState(pickle.dumps(payload, protocol=5))
+    for st in (tagged, legacy):
+        i2, m2, l2 = _load_emb_cell(st)
+        assert (i2 == ids).all() and (l2 == last).all()
+        assert m2.shape == (2, 4) and (m2 == mat).all()
