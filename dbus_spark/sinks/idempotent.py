@@ -168,6 +168,34 @@ class IdempotentKeyedSink:
             self.data_path
         ).drop("batch")
 
+    def read_as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """Snapshot read: the sink's contents as of the commit of
+        ``epoch`` — only COMMITTED epochs ≤ epoch are visible, the
+        file-layout analog of an Iceberg time-travel read (`VERSION AS
+        OF`).  Epoch directories are immutable after their marker
+        lands (replays overwrite to the same bytes), so an as-of read
+        is reproducible forever: the audit/debug primitive ("what had
+        landed when batch N committed?") and the input pin for a
+        backfill diff.  Partition pruning keeps it cheap: the `batch`
+        partition column filter never touches later epochs' files."""
+        ids = [
+            b
+            for b in self._epoch_ids()
+            if b <= epoch and self.committed(b)
+        ]
+        if not ids:
+            return self.read(spark).limit(0)
+        return (
+            spark.read.option("basePath", self.data_path)
+            .parquet(self.data_path)
+            .filter(F.col("batch") <= epoch)
+            .drop("batch")
+        )
+
+    def epochs(self) -> list[int]:
+        """Committed epoch ids, ascending — the snapshot history."""
+        return sorted(b for b in self._epoch_ids() if self.committed(b))
+
     # -- Iceberg form (production path) ---------------------------------
 
     def merge_sql(self, target_table: str, batch_view: str = "batch") -> str:

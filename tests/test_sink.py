@@ -195,3 +195,29 @@ def test_batch_backfill_then_streaming_handoff(spark, tmp_path):
     assert not out.duplicated(["conv_id", "turn_idx"]).any()
     got = set(zip(out.conv_id, out.turn_idx, out.text))
     assert got == set(zip(pdf.conv_id, pdf.turn_idx, pdf.text))
+
+
+def test_read_as_of_snapshot_semantics(spark, tmp_path):
+    """Time-travel reads: read_as_of(e) sees exactly the keys landed by
+    committed epochs <= e; later epochs are invisible (partition-pruned,
+    not filtered in Python); epochs() lists the snapshot history."""
+    import pandas as pd
+
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(str(tmp_path / "out"), keys=["k"])
+    fb = sink.foreach_batch()
+    for epoch, lo in ((0, 0), (1, 10), (2, 20)):
+        fb(
+            spark.createDataFrame(
+                pd.DataFrame({"k": range(lo, lo + 10), "v": range(10)})
+            ),
+            epoch,
+        )
+    assert sink.epochs() == [0, 1, 2]
+    as_of_1 = sink.read_as_of(spark, 1).toPandas()
+    assert set(as_of_1.k) == set(range(20))
+    assert sink.read_as_of(spark, 0).count() == 10
+    assert sink.read_as_of(spark, -1).count() == 0
+    # full read == as-of the latest epoch
+    assert sink.read(spark).count() == sink.read_as_of(spark, 2).count() == 30
