@@ -241,3 +241,37 @@ def test_emb_cell_state_format_versioned():
         i2, m2, l2 = _load_emb_cell(st)
         assert (i2 == ids).all() and (l2 == last).all()
         assert m2.shape == (2, 4) and (m2 == mat).all()
+
+
+def test_streaming_semdedup_with_trained_centroids(spark, corpus, tmp_path):
+    """The streaming filter composes with the k-means trainer: pass a
+    trained quantizer and the replica (same centroids) still matches —
+    the batch/stream assignment rule is centroid-agnostic."""
+    import pandas as pd
+
+    from dbus_spark.operators.similarity import kmeans_centroids_local
+
+    V = np.stack(corpus["embedding"].to_numpy())
+    cents = kmeans_centroids_local(V, n_centroids=NC, seed=11, n_iter=3)
+
+    # replica with the trained centroids
+    cent_arr = np.asarray(cents)
+    U = V.astype(np.float32)
+    nrm = np.linalg.norm(U, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    U = U / nrm
+    cells = _assign_cells(V, cent_arr)
+    keep, reps = set(), {}
+    order = corpus.reset_index(drop=True)
+    order["_row"] = np.arange(len(order))
+    for _, row in order.sort_values(["ts", "vec_id"]).iterrows():
+        i, c = int(row["_row"]), int(cells[int(row["_row"])])
+        R = reps.setdefault(c, [])
+        if R and (np.stack(R) @ U[i] >= np.float32(THR)).any():
+            continue
+        R.append(U[i])
+        keep.add(row["vec_id"])
+    assert 0 < len(keep) < len(corpus)
+
+    got = _run_stream(spark, corpus, tmp_path, 3, centroids=cents)
+    assert got == keep
