@@ -50,6 +50,7 @@ __all__ = [
     "pii_counts",
     "dedup_spans",
     "shard_plan",
+    "streaming_shard_assign",
     "shard_manifest",
     "export_shards",
 ]
@@ -677,4 +678,75 @@ def streaming_token_budget_filter(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_shard_assign(
+    df: DataFrame,
+    shard_bytes: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming shard assignment: the arrival-order twin of
+    :func:`shard_plan` for a continuously-landing curated stream —
+    each document gets the shard its start offset falls into, where
+    the offset is the stratum's RUNNING byte total (state: one int64
+    per stratum, the :func:`streaming_token_budget_filter` shape).
+    Same offset-bucket rule (docs never split, ≤ 1-doc overflow);
+    the only semantic difference from the batch plan is the order the
+    offsets accumulate in — id order there (a batch can sort), (ts,
+    id) arrival order here.  Output: input columns + ``n_bytes`` +
+    ``shard_idx``.
+    """
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_cols = df.columns
+    staged = df.withColumn(
+        "_sh_n", F.octet_length(F.col(text_col)).cast("long")
+    )
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols]
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("shard_idx", T.IntegerType()),
+        ]
+    )
+    budget = int(shard_bytes)
+
+    def fn(key, pdfs, state):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        cum = pickle.loads(bytes(state.get[0])) if state.exists else 0
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True, copy=False)
+        )
+        batch = batch.sort_values([ts, id_col], kind="stable").reset_index(
+            drop=True
+        )
+        sizes = batch["_sh_n"].to_numpy()
+        shards = []
+        for n in sizes:
+            shards.append(cum // budget)
+            cum += int(n)
+        state.update((pickle.dumps(cum),))
+        out = batch[in_cols].copy()
+        out["n_bytes"] = sizes
+        out["shard_idx"] = pd.array(shards, dtype="int32")
+        yield out
+
+    return staged.groupBy(strata_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=T.StructType([T.StructField("blob", T.BinaryType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -430,3 +430,61 @@ def test_streaming_token_budget_kill_resume(spark, tmp_path):
     # epoch replay at the foreachBatch boundary is at-least-once; the
     # budget state itself must not double-count (key set == replica)
     assert set(out["doc_id"]) == expected
+
+
+def test_streaming_shard_assign_matches_replica(spark, tmp_path):
+    """Arrival-order shard assignment == python replica of the
+    offset-bucket rule over any micro-batch split; state carries the
+    running byte offset across batches."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.corpus import streaming_shard_assign
+
+    rows = [
+        (i, "x" * (40 + (i * 17) % 60), ["en", "fr"][i % 2])
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["ts"] = (
+        pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(40), unit="s")
+    ).astype("datetime64[us]")
+
+    exp, cum = {}, {}
+    for _, r in pdf.sort_values(["ts", "doc_id"]).iterrows():
+        c = cum.get(r["lang"], 0)
+        exp[r["doc_id"]] = c // 100
+        cum[r["lang"]] = c + len(r["text"])
+
+    for n_files in (1, 4):
+        in_dir = tmp_path / f"in_{n_files}"
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), n_files)):
+            pdf.iloc[idx].to_parquet(in_dir / f"b-{i:04d}.parquet", index=False)
+        src = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        got = []
+        q = (
+            streaming_shard_assign(src, 100)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{n_files}"))
+            .foreachBatch(
+                lambda b, e: got.append(
+                    b.select("doc_id", "shard_idx").toPandas()
+                )
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        out = pd.concat(got, ignore_index=True)
+        assert out["doc_id"].is_unique
+        assert dict(zip(out.doc_id, out.shard_idx)) == exp, n_files
