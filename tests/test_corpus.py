@@ -488,3 +488,67 @@ def test_streaming_shard_assign_matches_replica(spark, tmp_path):
         out = pd.concat(got, ignore_index=True)
         assert out["doc_id"].is_unique
         assert dict(zip(out.doc_id, out.shard_idx)) == exp, n_files
+
+
+def test_streaming_shard_assign_kill_resume(spark, tmp_path):
+    """The running byte offset survives a checkpoint restart: the
+    final (doc -> shard) map equals the replica even when the query is
+    killed mid-stream (epoch replay may duplicate emissions; the
+    assignment per doc must be identical, so last-write wins)."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.corpus import streaming_shard_assign
+
+    rows = [(i, "y" * (30 + (i * 13) % 70), "en") for i in range(48)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["ts"] = (
+        pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(48), unit="s")
+    ).astype("datetime64[us]")
+    exp, cum = {}, 0
+    for _, r in pdf.iterrows():
+        exp[r["doc_id"]] = cum // 100
+        cum += len(r["text"])
+
+    in_dir = tmp_path / "in_kr"
+    os.makedirs(in_dir)
+    for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+        pdf.iloc[idx].to_parquet(in_dir / f"b-{i:04d}.parquet", index=False)
+
+    def start(got):
+        src = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        return (
+            streaming_shard_assign(src, 100)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_kr"))
+            .foreachBatch(
+                lambda b, e: got.append(
+                    b.select("doc_id", "shard_idx").toPandas()
+                )
+            )
+            .start()
+        )
+
+    got = []
+    q = start(got)
+    while len(got) < 2:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    q = start(got)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True).drop_duplicates(
+        "doc_id", keep="last"
+    )
+    assert dict(zip(out.doc_id, out.shard_idx)) == exp
