@@ -120,6 +120,7 @@ def main() -> None:
         _noop(D.winnow_match_pairs(spark.read.parquet(wdoc)))
         _noop(S.neardup_pairs_lsh(spark.read.parquet(wemb), dim=64))
         _noop(_span_dedup_chunked(spark.read.parquet(wdoc)))
+        _noop(S.semdedup(spark.read.parquet(wemb), dim=64, n_centroids=16))
         print("[warm] done", file=sys.stderr)
 
         for n_docs in scales:
