@@ -397,6 +397,24 @@ def _cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cep_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP pattern-string DSL front end: the SAME quantified
+    pattern as cep_quantified, but carried as the config-file form
+    `"view{1,3} click{1,} purchase{1,} within 24 hours"` and parsed
+    by operators/cep.py::parse_pattern — one front end, one plan,
+    pinned by sharing cep_quantified's oracle."""
+    from dbus_spark.operators.cep import match_pattern
+
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events,
+        "view{1,3} click{1,} purchase{1,} within 24 hours",
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+    )
+
+
 def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc 8-gram overlap against a
     deterministic benchmark set (the first 25 tokens of every 13th
@@ -1094,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel": _cep_funnel,
         "cep_absence": _cep_absence,
         "cep_quantified": _cep_quantified,
+        "cep_dsl": _cep_dsl,
         # moved into the checked head: the shared CC core (graph.py) took
         # the _cc_ column rename this round, so its consumers need
         # round-current driver rows
@@ -1136,7 +1155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
-        "doc_winnow": _doc_winnow,
         "doc_winnow_pairs": _doc_winnow_pairs,
         "doc_minhash": _doc_minhash,
         "doc_lsh_pairs": _doc_lsh_pairs,
@@ -1175,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked every pytest
         "doc_fingerprint": _doc_fingerprint,
         "doc_token_bpe": _doc_token_bpe,
+        "doc_winnow": _doc_winnow,
     }
 
 
@@ -1651,6 +1670,37 @@ def _oracle_sql_all() -> dict[str, str | None]:
             "AND (nb IS NULL OR nb > ts + INTERVAL 24 HOUR)"
         ),
         "cep_quantified": (
+            # maximal-run semantics: contract to runs (gaps-and-islands),
+            # then a run-level lead() sequence with per-position length
+            # bounds — the oracle mirror of match_quantified
+            "WITH r AS ("
+            "  SELECT user_id, event_type, event_id, ts, "
+            "    row_number() OVER (PARTITION BY user_id "
+            "      ORDER BY event_id) AS rn1, "
+            "    row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY event_id) AS rn2 "
+            "  FROM events"
+            "), runs AS ("
+            "  SELECT user_id, event_type, COUNT(*) AS len, "
+            "    arg_min(event_id, rn1) AS so, arg_max(event_id, rn1) AS eo, "
+            "    arg_min(ts, rn1) AS sts, arg_max(ts, rn1) AS ets, "
+            "    MIN(rn1) AS pos "
+            "  FROM r GROUP BY user_id, event_type, rn1 - rn2"
+            "), o AS ("
+            "  SELECT user_id, event_type, len, so, sts, "
+            "    lead(event_type, 1) OVER w AS s1, lead(len, 1) OVER w AS l1, "
+            "    lead(event_type, 2) OVER w AS s2, lead(len, 2) OVER w AS l2, "
+            "    lead(eo, 2) OVER w AS e_eo, lead(ets, 2) OVER w AS e_ets "
+            "  FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY pos)"
+            ") SELECT user_id, so AS start_event_id, e_eo AS end_event_id, "
+            "sts AS start_ts, e_ets AS end_ts, "
+            "len AS len_0, l1 AS len_1, l2 AS len_2 "
+            "FROM o WHERE event_type = 'view' AND len BETWEEN 1 AND 3 "
+            "AND s1 = 'click' AND l1 >= 1 "
+            "AND s2 = 'purchase' AND l2 >= 1 "
+            "AND e_ets <= sts + INTERVAL 24 HOUR"
+        ),
+        "cep_dsl": (
             # maximal-run semantics: contract to runs (gaps-and-islands),
             # then a run-level lead() sequence with per-position length
             # bounds — the oracle mirror of match_quantified

@@ -39,6 +39,7 @@ BATCH_QUERIES = [
     "cep_funnel",
     "cep_absence",
     "cep_quantified",
+    "cep_dsl",
     "topk_per_user",
     "event_json",
     "event_quantiles",

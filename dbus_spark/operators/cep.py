@@ -39,6 +39,7 @@ stream == batch-replay equivalence is structural, not coincidental.
 from __future__ import annotations
 
 import pickle
+import re
 from typing import Iterable
 
 import numpy as np
@@ -1310,4 +1311,92 @@ def streaming_match_quantified(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern-string DSL front end
+# ---------------------------------------------------------------------------
+
+_PATTERN_RE = re.compile(
+    r"""
+    (?: \( (?P<alt> [^)]+ ) \)        # (a|b|c) alternation
+      | (?P<sym> [A-Za-z0-9_.:-]+ )   # bare symbol
+    )
+    (?: \{ (?P<mn> \d+ ) (?: (?P<comma> , ) (?P<mx> \d* ) )? \} )?  # {m}/{m,}/{m,n}
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_pattern(spec: str) -> "tuple[list[tuple], str | None]":
+    """Parse a MATCH_RECOGNIZE-flavored pattern string into the
+    ``(pattern, within)`` pair :func:`match_quantified` takes.
+
+    Grammar (whitespace-separated positions):
+    ``elem ::= symbol | (sym|sym|...)``, each optionally quantified
+    ``{m}`` / ``{m,}`` / ``{m,n}`` (default ``{1}`` — exactly one
+    maximal run of length ≥1 is ``{1,}``; ``{1}`` means run length
+    exactly 1); an optional trailing ``within <interval>`` clause
+    uses Spark's own interval grammar ("24 hours", "30 minutes").
+
+    Examples::
+
+        parse_pattern("view{1,3} click{1,} purchase{1,} within 24 hours")
+        parse_pattern("(view|hover){2,} click")
+
+    Raises ``ValueError`` on anything unparseable — a typo in a
+    pattern must fail loudly at plan time, not silently match
+    nothing.
+    """
+    spec = spec.strip()
+    within = None
+    m = re.search(r"\bwithin\s+(.+)$", spec)
+    if m:
+        within = m.group(1).strip()
+        if not within:
+            raise ValueError(f"empty within clause: {spec!r}")
+        spec = spec[: m.start()].strip()
+    if not spec:
+        raise ValueError("empty pattern")
+    out: list[tuple] = []
+    for tok in spec.split():
+        pm = _PATTERN_RE.fullmatch(tok)
+        if not pm:
+            raise ValueError(f"unparseable pattern element: {tok!r}")
+        if pm.group("alt") is not None:
+            syms = [s.strip() for s in pm.group("alt").split("|")]
+            if not all(syms):
+                raise ValueError(f"bad alternation: {tok!r}")
+            elem = syms if len(syms) > 1 else syms[0]
+        else:
+            elem = pm.group("sym")
+        if pm.group("mn") is None:
+            mn, mx = 1, 1
+        else:
+            mn = int(pm.group("mn"))
+            if pm.group("comma") is None:
+                mx = mn
+            else:
+                mx = int(pm.group("mx")) if pm.group("mx") else None
+        out.append((elem, mn, mx))
+    return out, within
+
+
+def match_pattern(
+    df: DataFrame,
+    spec: str,
+    key: str = "conv_id",
+    order: "list[str] | str" = "turn_idx",
+    ts: str = "ts",
+    sym: str = "sym",
+) -> DataFrame:
+    """String-DSL front end over :func:`match_quantified`:
+    ``match_pattern(df, "view{1,3} click{1,} purchase{1,} within 24
+    hours")`` — the pattern a config file or CLI flag carries, parsed
+    by :func:`parse_pattern`.  Same maximal-run semantics, same
+    single-exchange plan."""
+    pattern, within = parse_pattern(spec)
+    return match_quantified(
+        df, pattern, key=key, order=order, ts=ts, sym=sym, within=within
     )

@@ -1055,3 +1055,49 @@ def test_stream_quantified_kill_resume(spark, turns_pd, tmp_path):
         .drop_duplicates(["key", "start_order", "end_order"])
     )
     assert _quant_set(out) == _pd_quantified(turns_pd, QPATTERN)
+
+
+def test_parse_pattern_grammar():
+    from dbus_spark.operators.cep import parse_pattern
+
+    assert parse_pattern("a b c") == (
+        [("a", 1, 1), ("b", 1, 1), ("c", 1, 1)],
+        None,
+    )
+    assert parse_pattern("view{1,3} click{2,} buy{4}") == (
+        [("view", 1, 3), ("click", 2, None), ("buy", 4, 4)],
+        None,
+    )
+    pat, within = parse_pattern("(view|hover){2,} click within 30 minutes")
+    assert pat == [(["view", "hover"], 2, None), ("click", 1, 1)]
+    assert within == "30 minutes"
+    import pytest
+
+    for bad in ("", "within 1 hour", "a{}", "a{,3}", "(a|)", "a b{1,2}c"):
+        with pytest.raises(ValueError):
+            parse_pattern(bad)
+
+
+def test_match_pattern_equals_match_quantified(spark):
+    """The DSL front end is a pure parser: identical rows to the
+    explicit-tuple call for the same pattern."""
+    from dbus_spark.operators.cep import match_pattern, match_quantified
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    via_dsl = match_pattern(
+        events,
+        "view{1,3} (click|view){1,} purchase{1,} within 24 hours",
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+    ).collect()
+    via_tuples = match_quantified(
+        events,
+        [("view", 1, 3), (["click", "view"], 1, None), ("purchase", 1, None)],
+        key="user_id",
+        order="event_id",
+        sym="event_type",
+        within="24 hours",
+    ).collect()
+    assert sorted(map(tuple, via_dsl)) == sorted(map(tuple, via_tuples))
+    assert len(via_dsl) > 0
