@@ -188,7 +188,11 @@ class IdempotentKeyedSink:
         return (
             spark.read.option("basePath", self.data_path)
             .parquet(self.data_path)
-            .filter(F.col("batch") <= epoch)
+            # COMMITTED epochs only, not merely <= epoch: a crashed
+            # write leaves an epoch directory without its marker, and
+            # a snapshot must never expose it (markers gate visibility
+            # exactly as in write_batch's replay check)
+            .filter(F.col("batch").isin(ids))
             .drop("batch")
         )
 

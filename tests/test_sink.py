@@ -221,3 +221,26 @@ def test_read_as_of_snapshot_semantics(spark, tmp_path):
     assert sink.read_as_of(spark, -1).count() == 0
     # full read == as-of the latest epoch
     assert sink.read(spark).count() == sink.read_as_of(spark, 2).count() == 30
+
+
+def test_read_as_of_hides_uncommitted_epoch(spark, tmp_path):
+    """A crashed write leaves an epoch directory without its marker;
+    snapshot reads must never expose it (markers gate visibility)."""
+    import os
+
+    import pandas as pd
+
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(str(tmp_path / "out"), keys=["k"])
+    fb = sink.foreach_batch()
+    fb(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [0, 0]})), 0)
+    # simulate a crash: epoch-1 data lands, marker never does
+    spark.createDataFrame(
+        pd.DataFrame({"k": [9], "v": [9], })
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "out"), "data", "batch=1")
+    )
+    assert sink.epochs() == [0]
+    as_of = sink.read_as_of(spark, 5).toPandas()
+    assert set(as_of.k) == {1, 2}  # the phantom epoch stays invisible
