@@ -152,8 +152,14 @@ class IdempotentKeyedSink:
         return lambda df, bid: self.write_batch(df, bid)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        if not self._epoch_ids():
-            # value types are unknowable before the first write; expose
+        """COMMITTED contents of the sink (markers gate visibility: a
+        crashed write's markerless epoch directory holds bytes a
+        reader must not see until its replay commits — same rule as
+        :meth:`read_as_of`)."""
+        all_ids = self._epoch_ids()
+        committed = [b for b in all_ids if self.committed(b)]
+        if not committed:
+            # value types are unknowable before the first commit; expose
             # the configured key columns (typed via key_types, default
             # string) so downstream joins/selects on keys resolve against
             # an empty sink with the same types as a populated one
@@ -164,9 +170,12 @@ class IdempotentKeyedSink:
                     for k in self.keys
                 ),
             )
-        return spark.read.option("basePath", self.data_path).parquet(
+        out = spark.read.option("basePath", self.data_path).parquet(
             self.data_path
-        ).drop("batch")
+        )
+        if len(committed) != len(all_ids):  # phantom (markerless) epochs
+            out = out.filter(F.col("batch").isin(committed))
+        return out.drop("batch")
 
     def read_as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
         """Snapshot read: the sink's contents as of the commit of

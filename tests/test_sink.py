@@ -244,3 +244,30 @@ def test_read_as_of_hides_uncommitted_epoch(spark, tmp_path):
     assert sink.epochs() == [0]
     as_of = sink.read_as_of(spark, 5).toPandas()
     assert set(as_of.k) == {1, 2}  # the phantom epoch stays invisible
+
+
+def test_read_hides_uncommitted_epoch(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from dbus_spark.sinks import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(str(tmp_path / "out"), keys=["k"])
+    sink.foreach_batch()(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "v": [0]})), 0
+    )
+    spark.createDataFrame(
+        pd.DataFrame({"k": [9], "v": [9]})
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "out"), "data", "batch=1")
+    )
+    assert set(sink.read(spark).toPandas().k) == {1}
+    # an all-phantom sink reads as the typed empty frame
+    sink2 = IdempotentKeyedSink(str(tmp_path / "out2"), keys=["k"])
+    spark.createDataFrame(
+        pd.DataFrame({"k": [9], "v": [9]})
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "out2"), "data", "batch=0")
+    )
+    assert sink2.read(spark).count() == 0
