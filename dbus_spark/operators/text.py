@@ -602,10 +602,143 @@ def dsir_logratio(
             F.coalesce("_lp_tgt", F.lit(tgt_floor)).alias("_lp_tgt"),
         )
     )
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 so both this and the DuckDB
+    # oracle arm emit identical bytes for ratios that round to zero
+    # (VERDICT r5: sign-of-zero hash divergence on one sf0.01 doc)
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.round(
-            (F.sum("_lp_tgt") - F.sum("_lp_raw")) / (F.count("*") * 1e6), 4
+        (
+            F.round(
+                (F.sum("_lp_tgt") - F.sum("_lp_raw"))
+                / (F.count("*") * 1e6),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("dsir_logratio"),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """DSIR hashed n-gram features (arXiv:2302.03169 §"hashed n-gram
+    features"): one row per unigram AND bigram occurrence, hashed into
+    ``n_buckets`` — ``(id, bucket)``.  Entirely JVM-side (split +
+    transform + md5-derived h32, no Python), so feature extraction
+    rides whole-stage codegen and the bucket ids are reproducible in
+    the DuckDB oracle via ``('0x'||substr(md5(f),1,8))::BIGINT %
+    n_buckets`` — same parity contract as the minhash shingle hash
+    (operators/dedup.py::_h32)."""
+    from dbus_spark.operators.dedup import _h32
+
+    toks = tokens(text_col)
+    # bigrams: t[i] + ' ' + t[i+1]; guard size<2 — Spark's sequence(1,0)
+    # would yield a DEScending [1,0], not an empty list
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(F.concat(toks, bigrams)).alias("_feat"),
+    ).select(
+        id_col,
+        (_h32(F.col("_feat")) % F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def dsir_logratio_hashed(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """DSIR importance weight over HASHED n-gram features — the form
+    the paper actually ships (Xie et al. 2023, arXiv:2302.03169, use
+    unigram+bigram features hashed into a fixed bucket space; the
+    unigram arm :func:`dsir_logratio` is the oracle-replayable
+    member).  ``(id, n_feats, dsir_logratio)``.
+
+    Smoothing differs from the unigram arm on purpose: the feature
+    space is FIXED at ``n_buckets``, so add-one smoothing uses
+    ``ln((c+1)/(T+B))`` with B = n_buckets (every bucket exists a
+    priori; absent buckets take ``ln(1/(T+B))``), exactly the paper's
+    bag-of-hashed-ngrams multinomial.  Int64 micro-nat sums keep the
+    score exact and shuffle-order-independent, as in the unigram arm.
+
+    Scale shape: one scan of each corpus; LM state is ≤ n_buckets
+    rows per side (bounded by construction — the reason the paper
+    hashes), so both LMs broadcast at any corpus size; the per-doc
+    rollup is one hash aggregation keyed by ``id_col``.
+    """
+    import math
+
+    from pyspark.storagelevel import StorageLevel
+
+    target_text_col = target_text_col or text_col
+    feats = hashed_ngram_features(
+        df, id_col, text_col, n_buckets
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tgt_feats = hashed_ngram_features(
+        target, id_col, target_text_col, n_buckets
+    )
+
+    def _lm(f: DataFrame) -> "tuple[DataFrame, int]":
+        counts = f.groupBy("bucket").agg(F.count("*").alias("c"))
+        t = counts.agg(F.sum("c").alias("t")).first()["t"] or 0
+        denom = float(t + n_buckets)
+        lm = counts.select(
+            "bucket",
+            F.round(F.log((F.col("c") + 1) / F.lit(denom)) * 1e6, 0)
+            .cast("long")
+            .alias("lp6"),
+        )
+        floor = round(math.log(1.0 / denom) * 1e6)
+        return lm, floor
+
+    raw_lm, raw_floor = _lm(feats)
+    tgt_lm, tgt_floor = _lm(tgt_feats)
+    joined = (
+        feats.join(
+            F.broadcast(
+                raw_lm.select("bucket", F.col("lp6").alias("_lp_raw"))
+            ),
+            on="bucket",
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                tgt_lm.select("bucket", F.col("lp6").alias("_lp_tgt"))
+            ),
+            on="bucket",
+            how="left",
+        )
+        .select(
+            id_col,
+            F.coalesce("_lp_raw", F.lit(raw_floor)).alias("_lp_raw"),
+            F.coalesce("_lp_tgt", F.lit(tgt_floor)).alias("_lp_tgt"),
+        )
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (same contract as the unigram arm)
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"),
+        (
+            F.round(
+                (F.sum("_lp_tgt") - F.sum("_lp_raw"))
+                / (F.count("*") * 1e6),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("dsir_logratio"),
     )
 

@@ -1101,3 +1101,285 @@ def test_match_pattern_equals_match_quantified(spark):
     ).collect()
     assert sorted(map(tuple, via_dsl)) == sorted(map(tuple, via_tuples))
     assert len(via_dsl) > 0
+
+
+# --- streaming funnel ----------------------------------------------------
+
+
+FUNNEL_STAGES = [
+    ("user", "role = 'user'"),
+    ("assistant", "role = 'assistant'"),
+    ("tool", "role = 'tool'"),
+]
+
+
+def _pd_funnel_advances(pdf: pd.DataFrame, stage_syms: list) -> set:
+    """Greedy in-order reference: stage i is reached at the first
+    event matching stage i's symbol strictly later (ts) than stage
+    i-1's reached time — exactly the batch funnel's earliest-
+    qualifying-event semantics on in-order input."""
+    out = set()
+    for cid, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        r, last = 0, None
+        for row in g.itertuples(index=False):
+            if (
+                r < len(stage_syms)
+                and row.role == stage_syms[r]
+                and (last is None or row.ts > last)
+            ):
+                out.add((cid, r, row.ts))
+                last = row.ts
+                r += 1
+    return out
+
+
+def _run_funnel_stream(spark, turns_pd, tmp_path, n_files):
+    from dbus_spark.operators.cep import streaming_funnel
+
+    in_dir = tmp_path / f"in_fun_{n_files}"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), n_files)
+    for i, idx in enumerate(parts):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_funnel(
+        src, FUNNEL_STAGES, key="conv_id", order="turn_idx",
+        n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_fun_{n_files}"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    # exactly-once advances: a key reaches a stage at most once
+    assert not out.duplicated(["key", "stage_idx"]).any()
+    # stage names resolve from stage_idx
+    assert set(out["stage"]) <= {n for n, _ in FUNNEL_STAGES}
+    return {
+        (r.key, r.stage_idx, r.reached_ts)
+        for r in out.itertuples(index=False)
+    }
+
+
+def test_stream_funnel_matches_reference_single(spark, turns_pd, tmp_path):
+    exp = _pd_funnel_advances(turns_pd, [n for n, _ in FUNNEL_STAGES])
+    assert len(exp) > 60  # all 40 convs reach stage 0; most go deeper
+    assert _run_funnel_stream(spark, turns_pd, tmp_path, 1) == exp
+
+
+def test_stream_funnel_split_equivalence(spark, turns_pd, tmp_path):
+    """Advance events must not depend on the micro-batch split: the
+    (n_reached, last_ts) frontier carries across batches."""
+    exp = _pd_funnel_advances(turns_pd, [n for n, _ in FUNNEL_STAGES])
+    assert _run_funnel_stream(spark, turns_pd, tmp_path, 7) == exp
+
+
+def test_stream_funnel_aggregates_to_batch_counts(
+    spark, turns_df, turns_pd, tmp_path
+):
+    """The advance log replayed to end-of-stream aggregates to exactly
+    the batch operator's per-stage n_keys — the twin contract."""
+    adv = _run_funnel_stream(spark, turns_pd, tmp_path, 5)
+    batch = {
+        (r["stage_idx"], r["n_keys"])
+        for r in funnel(
+            turns_df,
+            [(n, f"role = '{n}'") for n, _ in FUNNEL_STAGES],
+            key="conv_id",
+        ).collect()
+    }
+    stream_counts = {
+        (s, sum(1 for (_, si, _) in adv if si == s)) for s in range(3)
+    }
+    assert stream_counts == batch
+
+
+def test_stream_funnel_ordered_cascade(spark, tmp_path):
+    """Out-of-order stage events must not advance (purchase before
+    click) — mirrors test_funnel_ordered_cascade on the batch side."""
+    from dbus_spark.operators.cep import streaming_funnel
+
+    base = dt.datetime(2026, 1, 1)
+    rows = pd.DataFrame(
+        [
+            ("k1", 0, "view", base),
+            ("k2", 0, "view", base),
+            ("k3", 0, "click", base),
+            ("k2", 1, "purchase", base + dt.timedelta(minutes=1)),
+            ("k1", 1, "click", base + dt.timedelta(minutes=1)),
+            ("k1", 2, "purchase", base + dt.timedelta(minutes=2)),
+            ("k2", 2, "click", base + dt.timedelta(minutes=2)),
+        ],
+        columns=["conv_id", "turn_idx", "role", "ts"],
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    in_dir = tmp_path / "in_cascade"
+    os.makedirs(in_dir)
+    rows.sort_values(["ts", "conv_id"]).to_parquet(
+        in_dir / "b-0000.parquet", index=False
+    )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .parquet(str(in_dir))
+    )
+    v = streaming_funnel(
+        src,
+        [
+            ("view", "role = 'view'"),
+            ("click", "role = 'click'"),
+            ("purchase", "role = 'purchase'"),
+        ],
+        key="conv_id",
+        order="turn_idx",
+        n_buckets=4,
+        ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cascade"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    reached = {
+        (r.key, r.stage_idx) for r in out.itertuples(index=False)
+    }
+    # k1 full cascade; k2 view only (purchase precedes its click-stage
+    # advance... click at minute 2 DOES advance stage 1, but purchase
+    # at minute 1 is not strictly later than it); k3 nothing
+    assert reached == {("k1", 0), ("k1", 1), ("k1", 2), ("k2", 0), ("k2", 1)}
+
+
+def test_stream_funnel_dedups_redelivered_rows(spark, turns_pd, tmp_path):
+    """Exact (key, order) redelivery in a later file must not advance
+    anything twice (frontier guard) nor resurrect completed keys."""
+    from dbus_spark.operators.cep import streaming_funnel
+
+    in_dir = tmp_path / "in_fun_dup"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    ordered.to_parquet(in_dir / "b-0000.parquet", index=False)
+    ordered.head(len(ordered) // 2).to_parquet(
+        in_dir / "b-0001.parquet", index=False
+    )
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_funnel(
+        src, FUNNEL_STAGES, key="conv_id", order="turn_idx",
+        n_buckets=8, ttl_ms=86_400_000,
+    )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fun_dup"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert not out.duplicated(["key", "stage_idx"]).any()
+    exp = _pd_funnel_advances(turns_pd, [n for n, _ in FUNNEL_STAGES])
+    assert {
+        (r.key, r.stage_idx, r.reached_ts)
+        for r in out.itertuples(index=False)
+    } == exp
+
+
+def test_stream_funnel_kill_resume(spark, turns_pd, tmp_path):
+    """Restart from checkpoint mid-stream: frontier state carries over
+    — union of outputs equals the uninterrupted run, no duplicates."""
+    from dbus_spark.operators.cep import streaming_funnel
+
+    in_dir = tmp_path / "in_fun_kr"
+    os.makedirs(in_dir)
+    ordered = turns_pd.sort_values("ts").reset_index(drop=True)
+    parts = np.array_split(np.arange(len(ordered)), 6)
+    for i, idx in enumerate(parts[:3]):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    got = []
+
+    def collect(batch_df, _epoch):
+        got.append(batch_df.toPandas())
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        v = streaming_funnel(
+            src, FUNNEL_STAGES, key="conv_id", order="turn_idx",
+            n_buckets=8, ttl_ms=86_400_000,
+        )
+        return (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_fun_kr"))
+            .foreachBatch(collect)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    for i, idx in enumerate(parts[3:], start=3):
+        ordered.iloc[idx].to_parquet(
+            in_dir / f"b-{i:04d}.parquet", index=False
+        )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    exp = _pd_funnel_advances(turns_pd, [n for n, _ in FUNNEL_STAGES])
+    assert {
+        (r.key, r.stage_idx, r.reached_ts)
+        for r in out.itertuples(index=False)
+    } == exp
+    assert not out.duplicated(["key", "stage_idx"]).any()

@@ -34,7 +34,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
             out[c] = out[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(out[c]):
-            out[c] = out[c].round(6)
+            # + 0.0 maps IEEE -0.0 -> +0.0; detection of sign-of-zero
+            # divergence happens on the RAW frames via
+            # _assert_no_negzero (VERDICT r5, doc_dsir_weight)
+            out[c] = out[c].round(6) + 0.0
         elif out[c].dtype == object:
             pass
         else:
@@ -63,6 +66,24 @@ def _dtype_kind(s: pd.Series) -> str:
     return "object"
 
 
+def _assert_no_negzero(name: str, side: str, pdf: pd.DataFrame) -> None:
+    """Fail if any float column carries an IEEE -0.0.  -0.0 == +0.0 is
+    true, so pd.testing value compares pass where the driver's
+    byte-level value hash fails (VERDICT r5: doc_dsir_weight emitted
+    -0.0 from DuckDB's ROUND, +0.0 from Spark's F.round — values exact,
+    hash red).  Every float-producing query must normalize (x + 0.0)
+    in BOTH engines so this class can't recur."""
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]):
+            v = pdf[c].to_numpy()
+            bad = np.signbit(v) & (v == 0.0)
+            assert not bad.any(), (
+                f"{name}[{side}].{c}: {int(bad.sum())} IEEE -0.0 value(s)"
+                " — wrap the final expression with + 0.0 in both the"
+                " Spark query and the oracle SQL"
+            )
+
+
 ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_QUERIES))
 
@@ -74,8 +95,12 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
-    got = _normalize(entrymod.queries()[name](spark, SF_DIR).toPandas())
-    exp = _normalize(duck.sql(entrymod.oracle_sql()[name]).df())
+    got_raw = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    exp_raw = duck.sql(entrymod.oracle_sql()[name]).df()
+    _assert_no_negzero(name, "spark", got_raw)
+    _assert_no_negzero(name, "oracle", exp_raw)
+    got = _normalize(got_raw)
+    exp = _normalize(exp_raw)
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )

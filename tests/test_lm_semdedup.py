@@ -222,6 +222,58 @@ def test_dsir_logratio_separates_domains(spark):
     assert all(v is not None for v in got.values())
 
 
+def test_dsir_hashed_arm_agrees_directionally(spark):
+    """The hashed unigram+bigram arm (the paper's shipped form) must
+    sign-agree with the unigram oracle arm on clearly-separated
+    domains, and its feature count must be exactly unigrams + bigrams
+    = 2·n_tokens − 1 per doc."""
+    from pyspark.sql import functions as F
+
+    from dbus_spark.operators.text import (
+        dsir_logratio,
+        dsir_logratio_hashed,
+    )
+
+    rows = (
+        [(i, "the cat sat on the mat", "en") for i in range(5)]
+        + [(10 + i, "le chat est sur le tapis", "fr") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter(F.col("lang") == "en")
+    uni = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(df, target).collect()
+    }
+    hashed = {
+        r.doc_id: (r.dsir_logratio, r.n_feats)
+        for r in dsir_logratio_hashed(df, target, n_buckets=65536).collect()
+    }
+    assert set(uni) == set(hashed)
+    for i in range(5):
+        assert uni[i] > 0 and hashed[i][0] > 0
+        assert uni[10 + i] < 0 and hashed[10 + i][0] < 0
+    # 6 tokens per fixture doc -> 6 unigrams + 5 bigrams = 11 features
+    assert all(n == 11 for _, n in hashed.values())
+
+
+def test_dsir_hashed_single_token_doc_has_no_bigrams(spark):
+    """size<2 guard: Spark's sequence(1, 0) would yield a DESCENDING
+    [1, 0] rather than an empty list — one-token docs must produce
+    exactly one feature."""
+    from dbus_spark.operators.text import hashed_ngram_features
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "two tokens")], "doc_id long, text string"
+    )
+    got = (
+        hashed_ngram_features(df)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 3}
+
+
 def test_topk_tokens_arms_agree(spark):
     """Exact vs candidate+verify heavy hitters: identical (token, c,
     rank) on the fixture corpus, and the scale arm's shuffle carries
