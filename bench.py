@@ -73,6 +73,7 @@ BATCH_QUERIES = [
     "doc_shard_plan",
     "doc_shard_manifest",
     "doc_dsir_weight",
+    "doc_dsir_weight_hashed",
     "corpus_idf",
     "doc_tfidf_topk",
     "doc_simhash",
@@ -307,7 +308,9 @@ def run_cep_streaming(spark, n_convs: int) -> dict:
         os.makedirs(in_dir)
         for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
             pdf.iloc[chunk].to_parquet(
-                os.path.join(in_dir, f"b-{i:04d}.parquet"), index=False
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
             )
         src = (
             spark.readStream.schema(
@@ -367,6 +370,92 @@ def run_cep_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_cep_funnel_streaming(spark, n_convs: int) -> dict:
+    """Streaming funnel CEP (round 6): in-order turn stream →
+    streaming_funnel (user → assistant → tool stages; per-key state is
+    two scalars, stage predicates a JVM-side bitmask) → noop-drained
+    sink.  In-run invariant: the advance log aggregated per stage must
+    equal the batch funnel's n_keys exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.datagen import generate_transcripts
+    from dbus_spark.operators.cep import funnel, streaming_funnel
+
+    STAGES = [
+        ("user", "role = 'user'"),
+        ("assistant", "role = 'assistant'"),
+        ("tool", "role = 'tool'"),
+    ]
+    work = tempfile.mkdtemp(prefix="dbus_bench_cep_funnel_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        pdf = (
+            pdf.sort_values(["conv_id", "turn_idx", "ts"])
+            .drop_duplicates(["conv_id", "turn_idx"])
+            .sort_values("ts")
+            .reset_index(drop=True)[["conv_id", "turn_idx", "role", "ts"]]
+        )
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+            pdf.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
+            )
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_funnel(
+            src, STAGES, key="conv_id", order="turn_idx",
+            n_buckets=32, ttl_ms=86_400_000,
+        )
+        got: list = []
+
+        def drain(batch_df, _epoch):
+            got.append(batch_df.select("key", "stage_idx").toPandas())
+
+        t0 = time.time()
+        q = (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(drain)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        out = pd.concat(got, ignore_index=True)
+        assert not out.duplicated(["key", "stage_idx"]).any()
+        stream_counts = out.groupby("stage_idx").size().to_dict()
+        batch_counts = {
+            r["stage_idx"]: r["n_keys"]
+            for r in funnel(
+                spark.createDataFrame(pdf), STAGES, key="conv_id"
+            ).collect()
+        }
+        assert {
+            s: stream_counts.get(s, 0) for s in batch_counts
+        } == batch_counts, (
+            f"funnel stream/batch divergence: {stream_counts} vs "
+            f"{batch_counts}"
+        )
+        return {
+            "sec": round(wall, 3),
+            "rows": len(pdf),
+            "advances": int(len(out)),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_cep_quant_streaming(spark, n_convs: int) -> dict:
     """Streaming quantified (Kleene) CEP: user{1,2} assistant{1,}
     tool{1,1} under maximal-run semantics, contracted run-tail state
@@ -408,7 +497,9 @@ def run_cep_quant_streaming(spark, n_convs: int) -> dict:
         os.makedirs(in_dir)
         for i, chunk in enumerate(np.array_split(np.arange(len(fed)), 8)):
             fed.iloc[chunk].to_parquet(
-                os.path.join(in_dir, f"b-{i:04d}.parquet"), index=False
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
             )
         src = (
             spark.readStream.schema(
@@ -820,7 +911,9 @@ def run_doc_ingest_streaming(
         os.makedirs(in_dir)
         for i, chunk in enumerate(np.array_split(np.arange(len(big)), 8)):
             big.iloc[chunk].to_parquet(
-                os.path.join(in_dir, f"batch-{i:05d}.parquet"), index=False
+                os.path.join(in_dir, f"batch-{i:05d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
             )
         # Stateful-stage sizing (the r3 profile: state-store commit was
         # ~1.2-1.5 s of every ~2.5 s micro-batch — 32 per-partition
@@ -1044,6 +1137,13 @@ def main() -> None:
     cepq = min(qruns, key=lambda r: r["sec"])
     cepq["walls_sec"] = [r["sec"] for r in qruns]
     queries["streaming_cep_quantified"] = cepq["sec"]
+    furuns = [
+        run_cep_funnel_streaming(spark, STREAM_TURNS_CONVS)
+        for _ in range(repeats)
+    ]
+    cepf = min(furuns, key=lambda r: r["sec"])
+    cepf["walls_sec"] = [r["sec"] for r in furuns]
+    queries["streaming_cep_funnel"] = cepf["sec"]
     fruns = [run_fused_streaming(spark) for _ in range(repeats)]
     fused = min(fruns, key=lambda r: r["sec"])
     fused["walls_sec"] = [r["sec"] for r in fruns]
@@ -1066,6 +1166,7 @@ def main() -> None:
         "streaming_semdedup": semd,
         "streaming_cep": cep,
         "streaming_cep_quantified": cepq,
+        "streaming_cep_funnel": cepf,
         "streaming_fused": fused,
         "dryrun_route": dryrun,
         "cpus": cpus,
