@@ -2,11 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side plumbing (schema, Arrow batch
-shape, ``mapInPandas`` signature, partition sizing) is real and tested;
-the actual codec step is stubbed (this container has no image/audio
-libraries): ``fake_decoder`` is a deterministic byte-hash "decode" used
-by tests, ``real_decoder`` raises NotImplementedError and documents
-what to plug in (PIL/torchaudio/pyav).
+shape, ``mapInPandas`` signature, partition sizing) is real and tested.
+Decoders: ``fake_decoder`` is the deterministic byte-hash "decode" the
+driver oracle can value-check exactly; ``real_decoder`` (round 6)
+actually decodes PNG and PCM-WAV payloads via the dependency-free
+in-repo codecs (operators/codecs.py — stdlib zlib/wave + numpy) and
+raises NotImplementedError only for entropy-coded formats (JPEG/MP4/
+Opus) that genuinely need PIL/pyav.
 
 Scale notes: decode is the textbook mapInPandas case — pure map-side,
 no shuffle, CPU-bound — so throughput scales with executors as long as
@@ -79,9 +81,28 @@ def fake_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
 
 
 def real_decoder(content: bytes, n_features: int = 8) -> np.ndarray:
+    """Real decode + feature extraction for the formats the in-repo
+    dependency-free codecs cover (operators/codecs.py): PNG (8-bit
+    grey/RGB/RGBA, all five scanline filters) and 16-bit PCM WAV —
+    sniffed by magic bytes, features from the decoded pixels/samples
+    (stats head, same float32[n] shape as fake_decoder).  JPEG / MP4 /
+    Opus remain NotImplemented: entropy-coded formats are genuine
+    library territory (PIL/pyav), and this container has neither the
+    libraries nor a network to fetch them — the error names the
+    plug-in point."""
+    from dbus_spark.operators import codecs
+
+    if content[:8] == codecs.PNG_SIG:
+        return codecs.image_features(
+            codecs.decode_png(content), n_features
+        )
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, rate = codecs.decode_wav(content)
+        return codecs.audio_features(samples, rate, n_features)
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not in this container); "
-        "plug a codec in here — the Spark plumbing does not change"
+        "unrecognized media payload: in-repo codecs cover PNG and PCM "
+        "WAV; JPEG/MP4/Opus need PIL/pyav plugged in here — the Spark "
+        "plumbing does not change"
     )
 
 
