@@ -410,6 +410,17 @@ def test_dsir_single_raw_corpus_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_dsir_hashed_lms_broadcast(spark):
+    """The hashed arm's two LMs are bounded at n_buckets rows by
+    construction, so both join the exploded feature stream as
+    BroadcastHashJoins — a shuffle join there would hash-exchange the
+    full per-feature stream twice at 100 TB."""
+    q = entrymod.queries()["doc_dsir_weight_hashed"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_user_reach_partial_aggregation(spark):
     """Exact distinct reach must plan as expand + two-phase hash
     aggregate (map-side partials), never a raw shuffle of all rows."""
