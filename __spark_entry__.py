@@ -579,6 +579,92 @@ def _cep_absence_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ordered_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP stateful operator driver-checked: feed
+    ordered_turns_stream (bucket-coarsened AIPWS ordering/dedup,
+    operators/ordering.py) a deterministically SHUFFLED and
+    DUPLICATED transcript-shaped stream built from the events fixture,
+    and the emitted rows must equal the in-order deduped truth — the
+    north rule's "per-turn text equality under stable turn ordering"
+    invariant as an oracle row, not just a pytest.
+
+    Construction: turns = events with conv_id = user_id,
+    turn_idx = per-user ROW_NUMBER by (ts, event_id), text = props;
+    arrival order = md5(event_id) (a deterministic global shuffle), a
+    redelivery tail re-sends every 7th row byte-identically.  The
+    fixture has no gaps, so every conversation's received set becomes
+    contiguous by end-of-input and the contiguity rule emits
+    everything without waiting on the watermark."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from dbus_spark.operators.ordering import ordered_turns_stream
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy("ts", "event_id")
+                )
+                - 1  # zero-based: the ordering frontier starts at 0
+            ).alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            F.col("event_type").alias("tool"),
+            "ts",
+            F.md5(F.col("event_id").cast("string")).alias("_arr"),
+            F.col("event_id").alias("_eid"),
+        )
+    )
+    pdf = base.toPandas().sort_values("_arr").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    dup = pdf[pdf["_eid"] % 7 == 0]
+    feed = __import__("pandas").concat([pdf, dup], ignore_index=True)
+    feed = feed.drop(columns=["_arr", "_eid"])
+    tmp = tempfile.mkdtemp(prefix="ordered_replica_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        parts = np.array_split(np.arange(len(feed)), 5)
+        for i, idx in enumerate(parts):
+            feed.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, "
+                "text string, tool string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        # watermark wider than the fixture's event-time span: arrival
+        # order is a full shuffle, so event-time regression between
+        # micro-batches must never late-drop a real turn
+        v = ordered_turns_stream(
+            src, watermark="100 days", flush_after_ms=60_000, n_buckets=8
+        )
+        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
+        q.stop()
+        q.awaitTermination(60)
+        import pandas as pd
+
+        out = pd.concat(got, ignore_index=True)
+        return spark.createDataFrame(
+            out,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP Kleene-quantified pattern: ``view{1,3} click{1,}
     purchase{1,}`` within 24 hours under maximal-run semantics (each
@@ -1327,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weight_hashed": _doc_dsir_weight_hashed,
         "cep_funnel_stream_replica": _cep_funnel_stream_replica,
         "cep_absence_stream_replica": _cep_absence_stream_replica,
+        "ordered_stream_replica": _ordered_stream_replica,
         # (c) longest-unchecked tail from r5 (last green rows r1–r4)
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -1765,6 +1852,15 @@ def oracle_sql() -> dict[str, str]:
     # the batch counts)
     d["cep_funnel_stream_replica"] = d["cep_funnel"]
     d["cep_absence_stream_replica"] = d["cep_absence"]
+    # the ordering twin must reproduce the in-order deduped truth from
+    # a shuffled + redelivered arrival — per-turn text equality
+    d["ordered_stream_replica"] = (
+        "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "  ORDER BY ts, event_id) AS INT) - 1 AS turn_idx, "
+        "event_type AS role, props AS text, event_type AS tool, ts "
+        "FROM events"
+    )
     return d
 
 
