@@ -181,6 +181,109 @@ def _session_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("roles", "type_seq")
 
 
+def _session_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows driver-checked on the STREAMING path:
+    sessionize() (Spark session_window state) over the events fixture
+    as a 4-file stream with a 10-minute watermark, append mode.
+    End-of-stream: two cascading far-future sentinel rows under a
+    dummy key — the first advances the watermark past every real
+    session's close, the second's micro-batch emits under that
+    watermark (emission uses the previous batch's advance; the
+    two-watermark rule tests/oracle_pd.py encodes) — then the dummy
+    key is filtered out.  Oracle = the batch gaps-and-islands SQL of
+    session_roles: stream must land on batch verdicts exactly."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators import sessionize
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id"),
+            F.col("event_type"),
+            "ts",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    tmp = tempfile.mkdtemp(prefix="session_replica_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+            pdf.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+        src = (
+            spark.readStream.schema(
+                "user_id string, event_id long, event_type string, "
+                "ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = sessionize(
+            src,
+            gap="30 minutes",
+            key="user_id",
+            ts="ts",
+            order="event_id",
+            role="event_type",
+            watermark="10 minutes",
+        ).withColumnRenamed("roles", "type_seq")
+        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
+        base_ts = pdf["ts"].max() + pd.Timedelta(hours=1)
+        for j in (0, 1):
+            sent = pd.DataFrame(
+                {
+                    "user_id": ["_flush"],
+                    "event_id": [10**15 + j],
+                    "event_type": ["_flush"],
+                    "ts": [base_ts + pd.Timedelta(hours=2 * j)],
+                }
+            )
+            sent["ts"] = sent["ts"].astype("datetime64[us]")
+            sent.to_parquet(
+                os.path.join(in_dir, f"b-999{8 + j}.parquet"), index=False
+            )
+            q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        out = pd.concat(got, ignore_index=True)
+        out = out[out["user_id"] != "_flush"]
+        if not len(out):
+            return spark.createDataFrame(
+                [],
+                "user_id bigint, session_start timestamp, "
+                "last_ts timestamp, n_turns bigint, type_seq string",
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype(np.int64),
+                "session_start": out["session_start"],
+                "last_ts": out["last_ts"],
+                "n_turns": out["n_turns"].astype(np.int64),
+                "type_seq": out["type_seq"],
+            }
+        )
+        return spark.createDataFrame(
+            out,
+            "user_id bigint, session_start timestamp, last_ts timestamp, "
+            "n_turns bigint, type_seq string",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter("event_type = 'click'").select(
@@ -1414,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel_stream_replica": _cep_funnel_stream_replica,
         "cep_absence_stream_replica": _cep_absence_stream_replica,
         "ordered_stream_replica": _ordered_stream_replica,
+        "session_stream_replica": _session_stream_replica,
         # (c) longest-unchecked tail from r5 (last green rows r1–r4)
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -1861,6 +1965,10 @@ def oracle_sql() -> dict[str, str]:
         "event_type AS role, props AS text, event_type AS tool, ts "
         "FROM events"
     )
+    # the streaming session windows must land on the batch
+    # gaps-and-islands verdicts exactly (session_start column name
+    # matches; user_id returns to BIGINT after the sentinel filter)
+    d["session_stream_replica"] = d["session_roles"]
     return d
 
 
