@@ -306,6 +306,200 @@ def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP metric's operator driver-checked on the streaming
+    path: windowed_agg (tumbling 1-hour, count + rounded sum, keyed by
+    user) in append mode over the events fixture as a 4-file stream
+    with a 10-minute watermark.  End-of-stream tail closed by the same
+    two cascading dummy-key sentinels as the session replica; the
+    emitted windows must equal the batch tumbling_window oracle
+    exactly (every real window closes once the watermark passes it)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id"),
+            F.col("value"),
+            "ts",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    tmp = tempfile.mkdtemp(prefix="window_replica_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+            pdf.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+        src = (
+            spark.readStream.schema(
+                "user_id string, event_id long, value double, "
+                "ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = W.windowed_agg(
+            src,
+            "1 hour",
+            aggs={
+                "n_events": F.count("*"),
+                "sum_value": F.round(F.sum("value"), 4),
+            },
+            keys=["user_id"],
+            watermark="10 minutes",
+        )
+        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
+        base_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
+        for j in (0, 1):
+            sent = pd.DataFrame(
+                {
+                    "user_id": ["_flush"],
+                    "event_id": [10**15 + j],
+                    "value": [0.0],
+                    "ts": [base_ts + pd.Timedelta(hours=3 * j)],
+                }
+            )
+            sent["ts"] = sent["ts"].astype("datetime64[us]")
+            sent.to_parquet(
+                os.path.join(in_dir, f"b-999{8 + j}.parquet"), index=False
+            )
+            q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        out = pd.concat(got, ignore_index=True)
+        out = out[out["user_id"] != "_flush"]
+        if not len(out):
+            return spark.createDataFrame(
+                [],
+                "window_start timestamp, window_end timestamp, "
+                "user_id bigint, n_events bigint, sum_value double",
+            )
+        out = pd.DataFrame(
+            {
+                "window_start": out["window_start"],
+                "window_end": out["window_end"],
+                "user_id": out["user_id"].astype(np.int64),
+                "n_events": out["n_events"].astype(np.int64),
+                "sum_value": out["sum_value"],
+            }
+        )
+        return spark.createDataFrame(
+            out,
+            "window_start timestamp, window_end timestamp, "
+            "user_id bigint, n_events bigint, sum_value double",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _interval_join_stream_replica(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stateful stream-stream interval join driver-checked: the
+    events fixture streams as TWO sources (click side, purchase side,
+    same 4-file directory), watermarked on both event-time columns;
+    Spark sizes the join state from the interval condition (clicks
+    retained 30 min + watermark past their time).  Inner joins emit
+    eagerly on match, so the in-order finite replay needs no
+    end-of-stream flush; the matched set must equal the batch
+    interval_join oracle exactly."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    tmp = tempfile.mkdtemp(prefix="ijoin_replica_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+            pdf.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+
+        def _src():
+            return (
+                spark.readStream.schema(
+                    "user_id long, event_id long, event_type string, "
+                    "ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+
+        clicks = (
+            _src()
+            .filter("event_type = 'click'")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        buys = (
+            _src()
+            .filter("event_type = 'purchase'")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        cond = (
+            (clicks.user_id == buys.p_user_id)
+            & (buys.purchase_ts > clicks.click_ts)
+            & (
+                buys.purchase_ts
+                <= F.expr("click_ts + INTERVAL 30 MINUTES")
+            )
+        )
+        v = clicks.join(buys, cond, "inner").select(
+            "user_id", "click_id", "purchase_id"
+        )
+        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
+        q.stop()
+        q.awaitTermination(60)
+        out = pd.concat(got, ignore_index=True)
+        if not len(out):
+            return spark.createDataFrame(
+                [], "user_id bigint, click_id bigint, purchase_id bigint"
+            )
+        out = out.astype(
+            {c: np.int64 for c in ("user_id", "click_id", "purchase_id")}
+        )
+        return spark.createDataFrame(
+            out, "user_id bigint, click_id bigint, purchase_id bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase attributes to the user's most recent
     click at-or-before it (backward inexact match). Implemented as the
@@ -1518,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_absence_stream_replica": _cep_absence_stream_replica,
         "ordered_stream_replica": _ordered_stream_replica,
         "session_stream_replica": _session_stream_replica,
+        "window_stream_replica": _window_stream_replica,
+        "interval_join_stream_replica": _interval_join_stream_replica,
         # (c) longest-unchecked tail from r5 (last green rows r1–r4)
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -1969,6 +2165,10 @@ def oracle_sql() -> dict[str, str]:
     # gaps-and-islands verdicts exactly (session_start column name
     # matches; user_id returns to BIGINT after the sentinel filter)
     d["session_stream_replica"] = d["session_roles"]
+    # flagship tumbling window + stream-stream interval join, streamed
+    # to end-of-input, must land on their batch oracles exactly
+    d["window_stream_replica"] = d["tumbling_window"]
+    d["interval_join_stream_replica"] = d["interval_join"]
     return d
 
 
