@@ -525,6 +525,93 @@ def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "purchase_id", "click_id")
 
 
+def _asof_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's STREAMING twin driver-checked: clicks update a
+    per-user latest-click register (one row of state per live key),
+    purchases probe it as they arrive
+    (operators/join.py::streaming_asof_join).  Probes emit in their
+    own micro-batch — no end-of-stream flush needed — and the matched
+    set must equal the batch union-and-carry oracle exactly,
+    including the tie rules (click visible at equal ts, max click_id
+    among same-ts clicks)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dbus_spark.operators.join import streaming_asof_join
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.when(
+                F.col("event_type") == "click", F.col("event_id")
+            ).alias("click_id"),
+            "ts",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # nullable long: plain astype would make parquet DOUBLE
+    pdf["click_id"] = pdf["click_id"].astype("Int64")
+    tmp = tempfile.mkdtemp(prefix="asof_replica_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+            pdf.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+        src = (
+            spark.readStream.schema(
+                "user_id string, event_id long, event_type string, "
+                "click_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_asof_join(
+            src,
+            is_right="event_type = 'click'",
+            right_cols=["click_id"],
+            key="user_id",
+            order="event_id",
+            ts="ts",
+            watermark="10 minutes",
+            ttl_ms=86_400_000,
+            n_buckets=8,
+        )
+        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
+        q.stop()
+        q.awaitTermination(60)
+        out = pd.concat(got, ignore_index=True)
+        if not len(out):
+            return spark.createDataFrame(
+                [], "user_id bigint, purchase_id bigint, click_id bigint"
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": out["key"].astype(np.int64),
+                "purchase_id": out["order"].astype(np.int64),
+                "click_id": out["click_id"].astype("Int64"),
+            }
+        )
+        return spark.createDataFrame(
+            out, "user_id bigint, purchase_id bigint, click_id bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _cdc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship DAG — multi-table binlog dispatch
     (etc/canal.cf: one CDC stream, per-table routing) — on the TPC-H-ish
@@ -1714,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stream_replica": _session_stream_replica,
         "window_stream_replica": _window_stream_replica,
         "interval_join_stream_replica": _interval_join_stream_replica,
+        "asof_stream_replica": _asof_stream_replica,
         # (c) longest-unchecked tail from r5 (last green rows r1–r4)
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -2169,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
     # to end-of-input, must land on their batch oracles exactly
     d["window_stream_replica"] = d["tumbling_window"]
     d["interval_join_stream_replica"] = d["interval_join"]
+    d["asof_stream_replica"] = d["asof_attribution"]
     return d
 
 
