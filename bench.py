@@ -456,6 +456,123 @@ def run_cep_funnel_streaming(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_asof_streaming(spark, n_convs: int) -> dict:
+    """Streaming as-of register join (round 6): in-order turn stream →
+    streaming_asof_join (tool turns update the per-conv register, user
+    turns probe it) → noop-drained sink.  In-run invariant: the
+    emitted set equals the batch asof_join on the same frame."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from dbus_spark.datagen import generate_transcripts
+    from dbus_spark.operators.join import asof_join, streaming_asof_join
+
+    work = tempfile.mkdtemp(prefix="dbus_bench_asof_")
+    try:
+        pdf = generate_transcripts(n_convs=n_convs, seed=42)
+        pdf = (
+            pdf.sort_values(["conv_id", "turn_idx", "ts"])
+            .drop_duplicates(["conv_id", "turn_idx"])
+            .sort_values("ts")
+            .reset_index(drop=True)[["conv_id", "turn_idx", "role", "ts"]]
+        )
+        pdf["ref_idx"] = pdf["turn_idx"].where(pdf["role"] == "tool")
+        pdf["ref_idx"] = pdf["ref_idx"].astype("Int64")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+            pdf.iloc[chunk].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,  # splittable input (BENCH.md §13)
+            )
+        src = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, role string, "
+                "ts timestamp, ref_idx long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        v = streaming_asof_join(
+            src,
+            is_right="role = 'tool'",
+            right_cols=["ref_idx"],
+            key="conv_id",
+            order="turn_idx",
+            ts="ts",
+            n_buckets=32,
+            ttl_ms=86_400_000,
+        )
+        got: list = []
+
+        def drain(batch_df, _epoch):
+            got.append(
+                batch_df.select("key", "order", "ref_idx").toPandas()
+            )
+
+        t0 = time.time()
+        q = (
+            v.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(drain)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        out = pd.concat(got, ignore_index=True)
+        stream_set = {
+            (
+                r.key,
+                r.order,
+                None if pd.isna(r.ref_idx) else int(r.ref_idx),
+            )
+            for r in out.itertuples(index=False)
+        }
+        df = spark.createDataFrame(
+            pdf,
+            "conv_id string, turn_idx long, role string, ts timestamp, "
+            "ref_idx long",
+        )
+        probes = df.filter("role <> 'tool'").select(
+            "conv_id", F.col("turn_idx").alias("porder"), "ts"
+        )
+        refs = df.filter("role = 'tool'").select(
+            "conv_id", "ts", F.col("ref_idx").alias("carried")
+        )
+        batch_set = {
+            (
+                r["conv_id"],
+                r["porder"],
+                r["carried"],
+            )
+            for r in asof_join(
+                probes,
+                refs,
+                by="conv_id",
+                ts="ts",
+                right_cols=["carried"],
+                order_col="carried",
+            ).collect()
+        }
+        assert stream_set == batch_set, (
+            f"asof stream/batch divergence: {len(stream_set)} vs "
+            f"{len(batch_set)}"
+        )
+        return {
+            "sec": round(wall, 3),
+            "rows": len(pdf),
+            "probes": len(stream_set),
+            "turns_per_sec": round(len(pdf) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_cep_quant_streaming(spark, n_convs: int) -> dict:
     """Streaming quantified (Kleene) CEP: user{1,2} assistant{1,}
     tool{1,1} under maximal-run semantics, contracted run-tail state
@@ -1144,6 +1261,13 @@ def main() -> None:
     cepf = min(furuns, key=lambda r: r["sec"])
     cepf["walls_sec"] = [r["sec"] for r in furuns]
     queries["streaming_cep_funnel"] = cepf["sec"]
+    aruns = [
+        run_asof_streaming(spark, STREAM_TURNS_CONVS)
+        for _ in range(repeats)
+    ]
+    asofs = min(aruns, key=lambda r: r["sec"])
+    asofs["walls_sec"] = [r["sec"] for r in aruns]
+    queries["streaming_asof"] = asofs["sec"]
     fruns = [run_fused_streaming(spark) for _ in range(repeats)]
     fused = min(fruns, key=lambda r: r["sec"])
     fused["walls_sec"] = [r["sec"] for r in fruns]
@@ -1167,6 +1291,7 @@ def main() -> None:
         "streaming_cep": cep,
         "streaming_cep_quantified": cepq,
         "streaming_cep_funnel": cepf,
+        "streaming_asof": asofs,
         "streaming_fused": fused,
         "dryrun_route": dryrun,
         "cpus": cpus,
