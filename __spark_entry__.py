@@ -405,6 +405,205 @@ def _window_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _run_sentinel_window_stream(
+    spark: SparkSession,
+    pdf,
+    schema: str,
+    build,
+    sentinel_rows,
+    tag: str,
+):
+    """Shared driver for the window-family replicas: write ``pdf`` as
+    a 4-file stream, run ``build(src)`` in append mode, then feed two
+    cascading far-future sentinel batches (``sentinel_rows(j)`` for
+    j=0,1 — the first advances the watermark past every real window,
+    the second's batch emits under it), and return the collected
+    output as one pandas frame."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix=f"winrep_{tag}_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+            pdf.iloc[idx].to_parquet(
+                os.path.join(in_dir, f"b-{i:04d}.parquet"),
+                index=False,
+                row_group_size=2000,
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q, got = _collect_stream(build(src), os.path.join(tmp, "ck"))
+        for j in (0, 1):
+            sent = sentinel_rows(j)
+            sent["ts"] = sent["ts"].astype("datetime64[us]")
+            sent.to_parquet(
+                os.path.join(in_dir, f"b-999{8 + j}.parquet"), index=False
+            )
+            q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        return pd.concat(got, ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _salted_window_stream_replica(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SKEW path driver-checked streaming: salted_windowed_agg —
+    TWO chained stateful aggregations in one query (partial agg keyed
+    (window, user, salt), merge keyed (window, user)) — over the
+    events fixture as a stream, closed by the sentinel cascade.  Must
+    equal the batch tumbling_window_salted oracle exactly; this is the
+    north rule's 'salted two-phase aggregation' executing its
+    streaming form under the driver's hash check."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id"),
+            F.col("value"),
+            "ts",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
+
+    def build(src):
+        return W.salted_windowed_agg(
+            src,
+            "1 hour",
+            aggs={
+                "n_events": ("count", "event_id"),
+                "max_v": ("max", "value"),
+            },
+            keys=["user_id"],
+            n_salts=8,
+            salt_source="event_id",
+            watermark="10 minutes",
+        )
+
+    def sentinel_rows(j):
+        return pd.DataFrame(
+            {
+                "user_id": ["_flush"],
+                "event_id": [10**15 + j],
+                "value": [0.0],
+                "ts": [base_ts + pd.Timedelta(hours=3 * j)],
+            }
+        )
+
+    out = _run_sentinel_window_stream(
+        spark,
+        pdf,
+        "user_id string, event_id long, value double, ts timestamp",
+        build,
+        sentinel_rows,
+        "salted",
+    )
+    out = out[out["user_id"] != "_flush"]
+    if not len(out):
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, window_end timestamp, "
+            "user_id bigint, n_events bigint, max_v double",
+        )
+    out = pd.DataFrame(
+        {
+            "window_start": out["window_start"],
+            "window_end": out["window_end"],
+            "user_id": out["user_id"].astype(np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "max_v": out["max_v"],
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "window_start timestamp, window_end timestamp, user_id bigint, "
+        "n_events bigint, max_v double",
+    )
+
+
+def _sliding_window_stream_replica(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding (overlapping) windows driver-checked streaming: the
+    1-day/12-hour window over events keyed by event_type, sentinel
+    cascade closing the tail.  Each event lands in 2 overlapping
+    windows; all real windows must equal the batch sliding_window
+    oracle exactly."""
+    import pandas as pd
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type"), F.col("event_id"), "ts")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base_ts = pdf["ts"].max() + pd.Timedelta(days=3)
+
+    def build(src):
+        return W.windowed_agg(
+            src,
+            "1 day",
+            slide="12 hours",
+            aggs={"n_events": F.count("*")},
+            keys=["event_type"],
+            watermark="10 minutes",
+        ).drop("window_end")
+
+    def sentinel_rows(j):
+        return pd.DataFrame(
+            {
+                "event_type": ["_flush"],
+                "event_id": [10**15 + j],
+                "ts": [base_ts + pd.Timedelta(days=2 * j)],
+            }
+        )
+
+    out = _run_sentinel_window_stream(
+        spark,
+        pdf,
+        "event_type string, event_id long, ts timestamp",
+        build,
+        sentinel_rows,
+        "sliding",
+    )
+    out = out[out["event_type"] != "_flush"]
+    if not len(out):
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, event_type string, n_events bigint",
+        )
+    out = pd.DataFrame(
+        {
+            "window_start": out["window_start"],
+            "event_type": out["event_type"],
+            "n_events": out["n_events"].astype("int64"),
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "window_start timestamp, event_type string, n_events bigint",
+    )
+
+
 def _interval_join_stream_replica(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1802,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_stream_replica": _window_stream_replica,
         "interval_join_stream_replica": _interval_join_stream_replica,
         "asof_stream_replica": _asof_stream_replica,
+        "salted_window_stream_replica": _salted_window_stream_replica,
+        "sliding_window_stream_replica": _sliding_window_stream_replica,
         # (c) longest-unchecked tail from r5 (last green rows r1–r4)
         "doc_simhash": _doc_simhash,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -2258,6 +2459,8 @@ def oracle_sql() -> dict[str, str]:
     d["window_stream_replica"] = d["tumbling_window"]
     d["interval_join_stream_replica"] = d["interval_join"]
     d["asof_stream_replica"] = d["asof_attribution"]
+    d["salted_window_stream_replica"] = d["tumbling_window_salted"]
+    d["sliding_window_stream_replica"] = d["sliding_window"]
     return d
 
 
