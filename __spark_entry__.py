@@ -192,9 +192,6 @@ def _session_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-watermark rule tests/oracle_pd.py encodes) — then the dummy
     key is filtered out.  Oracle = the batch gaps-and-islands SQL of
     session_roles: stream must land on batch verdicts exactly."""
-    import shutil
-    import tempfile
-
     import numpy as np
     import pandas as pd
 
@@ -213,25 +210,10 @@ def _session_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index(drop=True)
     )
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    tmp = tempfile.mkdtemp(prefix="session_replica_")
-    try:
-        in_dir = os.path.join(tmp, "in")
-        os.makedirs(in_dir)
-        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
-            pdf.iloc[idx].to_parquet(
-                os.path.join(in_dir, f"b-{i:04d}.parquet"),
-                index=False,
-                row_group_size=2000,
-            )
-        src = (
-            spark.readStream.schema(
-                "user_id string, event_id long, event_type string, "
-                "ts timestamp"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        v = sessionize(
+    base_ts = pdf["ts"].max() + pd.Timedelta(hours=1)
+
+    def build(src):
+        return sessionize(
             src,
             gap="30 minutes",
             key="user_id",
@@ -240,48 +222,46 @@ def _session_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             role="event_type",
             watermark="10 minutes",
         ).withColumnRenamed("roles", "type_seq")
-        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
-        base_ts = pdf["ts"].max() + pd.Timedelta(hours=1)
-        for j in (0, 1):
-            sent = pd.DataFrame(
-                {
-                    "user_id": ["_flush"],
-                    "event_id": [10**15 + j],
-                    "event_type": ["_flush"],
-                    "ts": [base_ts + pd.Timedelta(hours=2 * j)],
-                }
-            )
-            sent["ts"] = sent["ts"].astype("datetime64[us]")
-            sent.to_parquet(
-                os.path.join(in_dir, f"b-999{8 + j}.parquet"), index=False
-            )
-            q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
-        out = pd.concat(got, ignore_index=True)
-        out = out[out["user_id"] != "_flush"]
-        if not len(out):
-            return spark.createDataFrame(
-                [],
-                "user_id bigint, session_start timestamp, "
-                "last_ts timestamp, n_turns bigint, type_seq string",
-            )
-        out = pd.DataFrame(
+
+    def sentinel_rows(j):
+        return pd.DataFrame(
             {
-                "user_id": out["user_id"].astype(np.int64),
-                "session_start": out["session_start"],
-                "last_ts": out["last_ts"],
-                "n_turns": out["n_turns"].astype(np.int64),
-                "type_seq": out["type_seq"],
+                "user_id": ["_flush"],
+                "event_id": [10**15 + j],
+                "event_type": ["_flush"],
+                "ts": [base_ts + pd.Timedelta(hours=2 * j)],
             }
         )
+
+    out = _run_sentinel_window_stream(
+        spark,
+        pdf,
+        "user_id string, event_id long, event_type string, ts timestamp",
+        build,
+        sentinel_rows,
+        "session",
+    )
+    out = out[out["user_id"] != "_flush"]
+    if not len(out):
         return spark.createDataFrame(
-            out,
-            "user_id bigint, session_start timestamp, last_ts timestamp, "
-            "n_turns bigint, type_seq string",
+            [],
+            "user_id bigint, session_start timestamp, "
+            "last_ts timestamp, n_turns bigint, type_seq string",
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "session_start": out["session_start"],
+            "last_ts": out["last_ts"],
+            "n_turns": out["n_turns"].astype(np.int64),
+            "type_seq": out["type_seq"],
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "user_id bigint, session_start timestamp, last_ts timestamp, "
+        "n_turns bigint, type_seq string",
+    )
 
 
 def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,9 +294,6 @@ def _window_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     two cascading dummy-key sentinels as the session replica; the
     emitted windows must equal the batch tumbling_window oracle
     exactly (every real window closes once the watermark passes it)."""
-    import shutil
-    import tempfile
-
     import numpy as np
     import pandas as pd
 
@@ -333,25 +310,10 @@ def _window_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index(drop=True)
     )
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    tmp = tempfile.mkdtemp(prefix="window_replica_")
-    try:
-        in_dir = os.path.join(tmp, "in")
-        os.makedirs(in_dir)
-        for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 4)):
-            pdf.iloc[idx].to_parquet(
-                os.path.join(in_dir, f"b-{i:04d}.parquet"),
-                index=False,
-                row_group_size=2000,
-            )
-        src = (
-            spark.readStream.schema(
-                "user_id string, event_id long, value double, "
-                "ts timestamp"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        v = W.windowed_agg(
+    base_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
+
+    def build(src):
+        return W.windowed_agg(
             src,
             "1 hour",
             aggs={
@@ -361,48 +323,46 @@ def _window_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id"],
             watermark="10 minutes",
         )
-        q, got = _collect_stream(v, os.path.join(tmp, "ck"))
-        base_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
-        for j in (0, 1):
-            sent = pd.DataFrame(
-                {
-                    "user_id": ["_flush"],
-                    "event_id": [10**15 + j],
-                    "value": [0.0],
-                    "ts": [base_ts + pd.Timedelta(hours=3 * j)],
-                }
-            )
-            sent["ts"] = sent["ts"].astype("datetime64[us]")
-            sent.to_parquet(
-                os.path.join(in_dir, f"b-999{8 + j}.parquet"), index=False
-            )
-            q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
-        out = pd.concat(got, ignore_index=True)
-        out = out[out["user_id"] != "_flush"]
-        if not len(out):
-            return spark.createDataFrame(
-                [],
-                "window_start timestamp, window_end timestamp, "
-                "user_id bigint, n_events bigint, sum_value double",
-            )
-        out = pd.DataFrame(
+
+    def sentinel_rows(j):
+        return pd.DataFrame(
             {
-                "window_start": out["window_start"],
-                "window_end": out["window_end"],
-                "user_id": out["user_id"].astype(np.int64),
-                "n_events": out["n_events"].astype(np.int64),
-                "sum_value": out["sum_value"],
+                "user_id": ["_flush"],
+                "event_id": [10**15 + j],
+                "value": [0.0],
+                "ts": [base_ts + pd.Timedelta(hours=3 * j)],
             }
         )
+
+    out = _run_sentinel_window_stream(
+        spark,
+        pdf,
+        "user_id string, event_id long, value double, ts timestamp",
+        build,
+        sentinel_rows,
+        "tumbling",
+    )
+    out = out[out["user_id"] != "_flush"]
+    if not len(out):
         return spark.createDataFrame(
-            out,
+            [],
             "window_start timestamp, window_end timestamp, "
             "user_id bigint, n_events bigint, sum_value double",
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = pd.DataFrame(
+        {
+            "window_start": out["window_start"],
+            "window_end": out["window_end"],
+            "user_id": out["user_id"].astype(np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "sum_value": out["sum_value"],
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "window_start timestamp, window_end timestamp, "
+        "user_id bigint, n_events bigint, sum_value double",
+    )
 
 
 def _run_sentinel_window_stream(
