@@ -32,6 +32,21 @@ from dbus_spark.pipeline.matcher import wildcard_match
 from dbus_spark.sources.batch import load_table
 
 
+def nullable_long_object(s):
+    """Nullable integer pandas column → object dtype with real None.
+
+    Every ``spark.createDataFrame(pandas)`` in this file must survive a
+    VANILLA session (Arrow off — the driver's config): the non-Arrow
+    ``_createFromLocal`` path degrades pandas ``Int64``/``pd.NA`` to a
+    float ``nan`` that LongType verification rejects (r6 verdict #1,
+    the ``asof_stream_replica`` crash). Object dtype with Python
+    ``None`` round-trips under both configs — the same conversion the
+    streaming as-of operator's emit path uses (operators/join.py)."""
+    import pandas as pd  # noqa: F401  (documents the contract)
+
+    return s.astype(object).where(s.notna(), None)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the databus vertical on sf0.001 — route events through
     the config→DAG layer (re-key on event_type), then per-ident
@@ -761,7 +776,7 @@ def _asof_stream_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": out["key"].astype(np.int64),
                 "purchase_id": out["order"].astype(np.int64),
-                "click_id": out["click_id"].astype("Int64"),
+                "click_id": nullable_long_object(out["click_id"]),
             }
         )
         return spark.createDataFrame(

@@ -135,15 +135,108 @@ def _doc_enrich_v(s: pd.Series) -> pd.DataFrame:
 doc_enrich_v = _doc_enrich_v.asNondeterministic()
 
 
+def turn_enrich_frame(s: pd.Series) -> pd.DataFrame:
+    """ONE-pass kernel computing every enrich_turns column — value-
+    identical to the five single-column UDFs (pinned by test), but one
+    tokenization + five set-membership passes instead of ~30 full-text
+    regex scans, and ONE Arrow crossing instead of five.
+
+    Marker/stopword counts: the singles count whitespace-delimited
+    whole tokens via ``(?<!\\S)w(?!\\S)``; counting equal tokens of the
+    split gives the same multiset count (a token matches the regex iff
+    it equals the word)."""
+    low = s.str.lower()
+    toks = low.str.split()
+    n_tok_f = toks.str.len()  # float64, NaN for null text
+    flat = toks.explode().dropna()
+
+    def count_in(words) -> pd.Series:
+        if not len(flat):
+            return pd.Series(0.0, index=s.index)
+        return (
+            flat.isin(words)
+            .groupby(level=0)
+            .sum()
+            .reindex(s.index, fill_value=0)
+            .astype(float)
+        )
+
+    # language vote (same tie logic as lang_id_v)
+    scores = {
+        lang: count_in(markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = pd.Series("und", index=s.index)
+    best_score = pd.Series(0, index=s.index)
+    for lang in reversed(_LANG_ORDER):
+        sc = scores[lang]
+        take = sc >= best_score.where(best_score > 1, 1)
+        best = best.mask(take, lang)
+        best_score = best_score.mask(take, sc)
+    # stopword ratio (same NaN path as stopword_ratio_v: null text →
+    # NaN ratio → 0.0)
+    n_stop = count_in(STOPWORDS)
+    stop_ratio = (n_stop / n_tok_f).fillna(0.0).round(4)
+    # quality (identical expression to quality_score_v)
+    n_chars = s.str.len().clip(lower=1)
+    alpha = s.str.count(r"[A-Za-z]")
+    n_tok_c = n_tok_f.clip(lower=1)
+    mean_tok = (n_chars - n_tok_c + 1) / n_tok_c
+    len_band = ((n_chars >= 32) & (n_chars <= 100_000)).astype(float)
+    tok_band = ((mean_tok >= 2.0) & (mean_tok <= 12.0)).astype(float)
+    quality = (
+        (0.4 * (alpha / n_chars) + 0.3 * len_band + 0.3 * tok_band)
+        .astype(float)
+        .round(4)
+    )
+    # 64-bit fingerprint (identical expression to fingerprint64_v)
+    norm = s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+    fp64 = pd.util.hash_pandas_object(norm, index=False).astype("int64")
+    return pd.DataFrame(
+        {
+            "n_tokens": n_tok_f.fillna(0).astype("int32"),
+            "fp64": fp64.to_numpy(),
+            "lang": best,
+            "stop_ratio": stop_ratio,
+            "quality": quality,
+        }
+    )
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("fp64", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("stop_ratio", T.DoubleType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+)
+def _turn_enrich_v(s: pd.Series) -> pd.DataFrame:
+    return turn_enrich_frame(s)
+
+
+# nondeterministic for the same reason as doc_enrich_v: pipelines
+# FILTER on quality, and a pushed-down filter would otherwise evaluate
+# the whole struct twice
+turn_enrich_v = _turn_enrich_v.asNondeterministic()
+
+
 def enrich_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The flagship per-turn enrichment stage: token count, 64-bit
     fingerprint, language, stopword ratio, quality score — all
-    Arrow-vectorized."""
+    Arrow-vectorized, fused into ONE pandas-UDF crossing (r7: the five
+    separate UDFs cost five Arrow round-trips of the text column and
+    ~30 per-marker regex scans per batch; the fused kernel is
+    value-identical, pinned by test_vectorized)."""
     c = F.col(text_col)
     return (
-        df.withColumn("n_tokens", token_count_v(c))
-        .withColumn("fp64", fingerprint64_v(c))
-        .withColumn("lang", lang_id_v(c))
-        .withColumn("stop_ratio", stopword_ratio_v(c))
-        .withColumn("quality", quality_score_v(c))
+        df.withColumn("_e", turn_enrich_v(c))
+        .withColumn("n_tokens", F.col("_e.n_tokens"))
+        .withColumn("fp64", F.col("_e.fp64"))
+        .withColumn("lang", F.col("_e.lang"))
+        .withColumn("stop_ratio", F.col("_e.stop_ratio"))
+        .withColumn("quality", F.col("_e.quality"))
+        .drop("_e")
     )

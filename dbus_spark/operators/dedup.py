@@ -236,6 +236,132 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _winnow_fingerprints_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+) -> DataFrame:
+    """Arrow/numpy execution of the md5 winnowing pass — identical
+    rows to the Catalyst HOF form: same normalization (trim-spaces →
+    lower → Java-\\s runs to one space), same md5-h32 per character
+    k-gram, same w-window minima, per-doc distinct, explode_outer
+    (short/null docs emit a null fingerprint row). k-grams are
+    extracted as fixed-width byte views (ASCII fast path) and uniqued
+    per batch before hashing — one md5 per DISTINCT k-gram instead of
+    one interpreted HOF step per position."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ws = re.compile(_JAVA_WS)
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text_col].tolist()
+            norms: list[str | None] = [
+                None if t is None else ws.sub(" ", t.strip(" ").lower())
+                for t in texts
+            ]
+            # gather every k-gram of the batch as fixed-width bytes
+            subs_per_doc: list[np.ndarray | None] = []
+            all_subs: list[np.ndarray] = []
+            for s in norms:
+                if s is None or len(s) < k:
+                    subs_per_doc.append(None)
+                    continue
+                if s.isascii():
+                    a = np.frombuffer(s.encode(), dtype=np.uint8)
+                    wins = sliding_window_view(a, k)
+                    subs = (
+                        np.ascontiguousarray(wins)
+                        .view(f"S{k}")
+                        .ravel()
+                    )
+                else:
+                    # character semantics for non-ASCII (Spark substr
+                    # counts chars): per-position UTF-8 encode
+                    subs = np.array(
+                        [
+                            s[i : i + k].encode("utf-8")
+                            for i in range(len(s) - k + 1)
+                        ],
+                        dtype=object,
+                    )
+                subs_per_doc.append(subs)
+                all_subs.append(
+                    subs.astype(object) if subs.dtype != object else subs
+                )
+            out_ids: list[np.ndarray] = []
+            out_fps: list[np.ndarray] = []
+            null_ids: list[object] = []
+            if all_subs:
+                flat = np.concatenate(all_subs)
+                uniq, inv = np.unique(flat, return_inverse=True)
+                uh = np.array(
+                    [
+                        int(hashlib.md5(u).hexdigest()[:8], 16)
+                        for u in uniq
+                    ],
+                    dtype=np.int64,
+                )
+                pos = 0
+                for rid, subs in zip(ids, subs_per_doc):
+                    if subs is None:
+                        null_ids.append(rid)
+                        continue
+                    n = len(subs)
+                    hs = uh[inv[pos : pos + n]]
+                    pos += n
+                    if n < w:
+                        null_ids.append(rid)
+                        continue
+                    mins = np.unique(
+                        sliding_window_view(hs, w).min(axis=1)
+                    )
+                    out_ids.append(np.full(len(mins), rid))
+                    out_fps.append(mins)
+            else:
+                null_ids.extend(ids)
+            frames = []
+            if out_ids:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.concatenate(out_ids),
+                            "fp": np.concatenate(out_fps),
+                        }
+                    )
+                )
+            if null_ids:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.array(null_ids),
+                            # object/None, not NaN: a float column would
+                            # poison the long fp dtype on concat
+                            "fp": np.full(
+                                len(null_ids), None, dtype=object
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, fp long"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,9 +375,31 @@ def winnow_fingerprints(
     here the md5-derived h32 so the oracle reproduces it), then keep
     the minimum hash of every ``w``-wide window and dedup. Guarantees
     any match of length ≥ w+k-1 shares a fingerprint, at ~2/(w+1)
-    selection density. Pure map-side Catalyst (one row per selected
-    fingerprint) — the shuffle, if any, belongs to the downstream
-    fingerprint join."""
+    selection density. Map-side either way — the shuffle, if any,
+    belongs to the downstream fingerprint join.
+
+    Execution (r7): the md5 mode runs as the Arrow batch kernel
+    (:func:`_winnow_fingerprints_arrow`) — same rows, one md5 per
+    distinct k-gram per batch + numpy sliding-window minima, instead
+    of one interpreted md5+conv HOF step per character position
+    (~n_chars·2 steps/doc). xxhash64 stays Catalyst (codegen'd hash,
+    no Python replica)."""
+    if hash_fn == "md5":
+        return _winnow_fingerprints_arrow(df, id_col, text_col, k, w)
+    return _winnow_fingerprints_catalyst(df, id_col, text_col, k, w, hash_fn)
+
+
+def _winnow_fingerprints_catalyst(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The Catalyst HOF winnowing pass — the xxhash64 production mode,
+    and (with md5) the parity reference the Arrow kernel is pinned
+    against."""
     norm = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
     )
@@ -339,6 +487,191 @@ def winnow_match_pairs(
     return out
 
 
+def _popcount64(v: "object") -> "object":
+    """Vectorized 64-bit popcount (SWAR) — numpy < 2.0 has no
+    ``bitwise_count``; identical to JVM ``bit_count`` for the
+    non-negative sketches used here."""
+    import numpy as np
+
+    v = v.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
+def _bucketed_hamming_pairs(
+    sk: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_hamming: int | None,
+    emit_hamming: bool,
+    n_sub: int = 1,
+) -> DataFrame:
+    """Within-bucket pair enumeration + popcount verify, fully
+    vectorized: shuffle the sketch rows once on the bucket key(s),
+    sort within partitions, and emit every same-bucket (id_a < id_b)
+    pair from ONE ``mapInPandas`` pass — pair construction is the
+    repeat/offset trick over segment run-lengths (zero Python per
+    group; a per-group ``applyInPandas`` paid ~0.5 ms × tens of
+    thousands of near-empty buckets, slower than the join it
+    replaced). Hamming is SWAR popcount over the xor'd sketch pairs;
+    ``max_hamming`` filters, ``emit_hamming`` keeps the column.
+    Pair-list construction is chunked so the live arrays stay bounded
+    even when one bucket is quadratic-hot.
+
+    ``n_sub`` > 1 splits every bucket into ``n_sub`` deterministic
+    id-hash sub-blocks and keys the shuffle on (bucket, sub-block
+    PAIR) — a quadratic-hot bucket's pair work then spreads over
+    n_sub·(n_sub+1)/2 partitions instead of serializing on one core
+    (measured: one 13 k-doc block bucket ≈ 90 M pairs on the blocked
+    simhash at sf1.0). Every unordered pair still lands in exactly
+    one (gi ≤ gj) group, so results are identical."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["id_a", "id_b"] + (["hamming"] if emit_hamming else [])
+    # null sketches (null text) never join on their bucket in the join
+    # form — drop them before pairing, same semantics
+    sk = sk.filter(F.col("simhash").isNotNull())
+    if n_sub > 1:
+        sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast("int")
+        grp = F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_sub"), F.lit(q)).alias("gi"),
+                    F.greatest(F.col("_sub"), F.lit(q)).alias("gj"),
+                )
+                for q in range(n_sub)
+            ]
+        )
+        sk = (
+            sk.withColumn("_sub", sub)
+            .select(
+                *key_cols, id_col, "simhash", "_sub",
+                F.explode(grp).alias("_g"),
+            )
+            .select(
+                *key_cols, id_col, "simhash", "_sub",
+                F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+            )
+        )
+        seg_cols = list(key_cols) + ["_gi", "_gj"]
+        sort_cols = seg_cols + ["_sub"]
+        shuffle_cols = seg_cols
+    else:
+        sk = sk.withColumn("_sub", F.lit(0).cast("int"))
+        seg_cols = list(key_cols)
+        sort_cols = seg_cols
+        shuffle_cols = seg_cols
+
+    def _empty():
+        d = {
+            "id_a": np.array([], np.int64),
+            "id_b": np.array([], np.int64),
+        }
+        if emit_hamming:
+            # int32: parity with the JVM bit_count column type
+            d["hamming"] = np.array([], np.int32)
+        return pd.DataFrame(d)
+
+    def gen(it):
+        chunks = [p for p in it if len(p)]
+        if not chunks:
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        n = len(pdf)
+        keyarrs = [pdf[c].to_numpy(np.int64) for c in seg_cols]
+        ids = pdf[id_col].to_numpy(np.int64)
+        sks = pdf["simhash"].to_numpy(np.int64)
+        change = np.zeros(n, dtype=bool)
+        for a in keyarrs:
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change[1:]) + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_of_row = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(n) - starts[seg_of_row]
+        if n_sub > 1:
+            gi = pdf["_gi"].to_numpy(np.int64)[starts]
+            gj = pdf["_gj"].to_numpy(np.int64)[starts]
+            subv = pdf["_sub"].to_numpy(np.int64)
+            diag_seg = gi == gj
+            # cross segments: a-side (sub == gi) sorts first
+            is_a = subv == gi[seg_of_row]
+            n_a = np.add.reduceat(is_a.astype(np.int64), starts)
+            n_b = lens - n_a
+            diag_r = lens[seg_of_row] - pos - 1
+            cross_r = np.where(is_a, n_b[seg_of_row], 0)
+            rep = np.where(diag_seg[seg_of_row], diag_r, cross_r)
+            # partner base index: next row (diag) / b-side start (cross)
+            b_start = starts + n_a
+            base = np.where(
+                diag_seg[seg_of_row],
+                np.arange(n) + 1,
+                b_start[seg_of_row],
+            )
+        else:
+            rep = lens[seg_of_row] - pos - 1
+            base = np.arange(n) + 1
+        csum = np.concatenate([[0], np.cumsum(rep)])
+        total = int(csum[-1])
+        if total == 0:
+            yield _empty()
+            return
+        CHUNK = 4_000_000
+        emitted = False
+        lo_row = 0
+        while lo_row < n:
+            hi_row = int(
+                np.searchsorted(csum, csum[lo_row] + CHUNK, side="left")
+            )
+            hi_row = min(max(hi_row, lo_row + 1), n)
+            r = rep[lo_row:hi_row]
+            t = int(r.sum())
+            if t:
+                a_idx = np.repeat(np.arange(lo_row, hi_row), r)
+                w = np.arange(t) - np.repeat(
+                    np.cumsum(np.concatenate([[0], r[:-1]])), r
+                )
+                b_idx = base[a_idx] + w
+                ham = _popcount64(sks[a_idx] ^ sks[b_idx])
+                if max_hamming is not None:
+                    m = ham <= max_hamming
+                    a_idx, b_idx, ham = a_idx[m], b_idx[m], ham[m]
+                if len(a_idx):
+                    ia, ib = ids[a_idx], ids[b_idx]
+                    d = {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                    }
+                    if emit_hamming:
+                        d["hamming"] = ham.astype(np.int32)
+                    emitted = True
+                    yield pd.DataFrame(d)
+            lo_row = hi_row
+        if not emitted:
+            yield _empty()
+
+    part = sk.repartition(
+        *[F.col(c) for c in shuffle_cols]
+    ).sortWithinPartitions(*sort_cols)
+    schema = f"id_a long, id_b long" + (
+        ", hamming integer" if emit_hamming else ""
+    )
+    sel = list(dict.fromkeys(sort_cols + [id_col, "simhash"]))
+    return part.select(*sel).mapInPandas(gen, schema=schema).select(
+        *out_cols
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -349,19 +682,23 @@ def simhash_candidate_pairs(
     """SimHash near-dup candidates: docs whose sketches share the top
     ``prefix_bits`` bits land in one bucket and pair up — the cheap
     hamming-prefix filter (full hamming-distance verify happens on the
-    tiny candidate set downstream). Bucket-join shuffle only."""
+    tiny candidate set downstream).
+
+    Execution (r7): pairs are enumerated segment-wise after one
+    shuffle of the sketch rows (:func:`_bucketed_hamming_pairs`)
+    instead of a self-join + distinct. Each doc owns exactly ONE
+    (sketch, bucket) row, so within a bucket every unordered pair
+    occurs once — the former ``.distinct()`` was a full shuffle of
+    the pair stream that never removed a row, and the self-join
+    evaluated the sketch subtree twice. (``id_col`` is a key;
+    duplicate ids would previously have been collapsed by the
+    distinct — that degenerate input is excluded by contract, as in
+    the oracle.)"""
     sk = simhash(df, id_col, text_col, hash_fn=hash_fn).withColumn(
         "bucket", F.shiftright("simhash", 32 - prefix_bits)
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    return _bucketed_hamming_pairs(
+        sk, ["bucket"], id_col, None, emit_hamming=False
     )
 
 
@@ -385,19 +722,13 @@ def simhash_neardup_pairs(
     sk = simhash(df, id_col, text_col, hash_fn=hash_fn).withColumn(
         "bucket", F.shiftright("simhash", 32 - prefix_bits)
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    # segment-wise pair enumeration + numpy popcount verify (r7): one
+    # shuffle of |docs| sketch rows replaces the self-join's double
+    # sketch evaluation and per-candidate JVM verify; each doc has one
+    # bucket so pair multiplicity is 1 and no distinct is needed
+    # (id_col is a key, same contract as the oracle)
+    return _bucketed_hamming_pairs(
+        sk, ["bucket"], id_col, max_hamming, emit_hamming=True
     )
 
 
@@ -447,20 +778,21 @@ def simhash_neardup_pairs_blocked(
     tb = sk.select(
         F.col(id_col), F.col("simhash"), F.explode(entries).alias("e")
     ).select(id_col, "simhash", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
-    a, b = tb.alias("a"), tb.alias("b")
-    return (
-        a.join(b, on=["tbl", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    # segment-wise enumerate + popcount verify (r7), same shape as the
+    # prefix variant; a pair agreeing on several blocks emits one
+    # bitwise-identical (id_a, id_b, hamming) row per agreeing table
+    # (hamming is a pure function of the two sketches), so the
+    # distinct collapses multi-table duplicates exactly as the join
+    # form's did — but over the (tiny) verified set instead of the
+    # full candidate stream
+    # n_sub=8: the fixture's biased bit votes concentrate ~25% of the
+    # corpus in a handful of block buckets (measured 285 M candidate
+    # pairs, 90 M in ONE bucket at sf1.0) — the sub-block split
+    # spreads a hot bucket's pair grid over 36 partitions
+    return _bucketed_hamming_pairs(
+        tb, ["tbl", "bucket"], id_col, max_hamming,
+        emit_hamming=True, n_sub=8,
+    ).distinct()
 
 
 # Affine MinHash permutations over the prime field GF(p), p = 2^31-1.
@@ -634,6 +966,113 @@ def lsh_estimated_jaccard(
     return out
 
 
+# Java \s == [ \t\n\x0B\f\r]; Spark trim == strip 0x20 only (the same
+# parity contract as shingles_exploded_arrow)
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _java_split_tokens(texts) -> list[list[str]]:
+    """Replicate ``F.split(F.trim(c), r"\\s+")`` (operators.text.tokens)
+    in Python, byte-for-byte: strip 0x20 only, then split on the Java
+    ASCII whitespace class. Spark's ``split`` calls
+    ``Pattern.split(s, -1)`` (limit -1: trailing empty strings KEPT,
+    unlike ``String.split``'s default), which is exactly Python
+    ``re.split`` semantics — leading and trailing empties both survive
+    ("\\ta\\t" → ["", "a", ""]) and "" → [""]. Pinned against the
+    Catalyst form by the parity test."""
+    import re
+
+    ws = re.compile(_JAVA_WS)
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+        else:
+            out.append(ws.split(t.strip(" ")))
+    return out
+
+
+def _simhash_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int,
+) -> DataFrame:
+    """Arrow/numpy execution of the md5 SimHash sketch — identical
+    values to the Catalyst HOF form (same tokenization, same md5-slice
+    base hash, same ±1 bit votes and power-of-two packing), computed
+    per batch: tokens are uniqued before hashing (one md5 per DISTINCT
+    token per batch instead of one interpreted HOF step per token ×
+    bit), bit votes are one numpy reduceat over the token stream."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    hexlen = 8 if n_bits <= 32 else 15
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            tok_lists = _java_split_tokens(pdf[text_col].tolist())
+            counts = np.array(
+                [0 if t is None else len(t) for t in tok_lists],
+                dtype=np.int64,
+            )
+            sk = np.zeros(len(pdf), dtype=np.int64)
+            flat = np.array(
+                [t for ts in tok_lists if ts is not None for t in ts],
+                dtype=object,
+            )
+            if len(flat):
+                uniq, inv = np.unique(flat, return_inverse=True)
+                uh = np.array(
+                    [
+                        int(
+                            hashlib.md5(u.encode("utf-8")).hexdigest()[
+                                :hexlen
+                            ],
+                            16,
+                        )
+                        for u in uniq
+                    ],
+                    dtype=np.uint64,
+                )
+                # ±1 votes per (token, bit), summed per row via
+                # reduceat over the flat token stream (offsets clipped:
+                # a zero-count row repeats its neighbor's offset and is
+                # zeroed right after — the classic reduceat edge)
+                bits = (
+                    (uh[inv, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int64) * 2 - 1
+                offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                votes = np.add.reduceat(
+                    bits, np.minimum(offsets, len(flat) - 1), axis=0
+                )
+                votes[counts == 0] = 0
+                sk = ((votes > 0) * weights[None, :]).sum(axis=1)
+            # null text → null sketch (Catalyst: split(null) is null and
+            # the vote fold stays null)
+            if (counts == 0).any():
+                isnull = np.array(
+                    [t is None for t in tok_lists], dtype=bool
+                )
+                if isnull.any():
+                    sk = sk.astype(object)
+                    sk[isnull] = None
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": sk}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -648,7 +1087,31 @@ def simhash(
     supplies at most 60 bits of entropy (15 md5 hex chars / pmod 2^60
     on the xxhash64 path) — bits beyond the base hash's width would
     always vote negative and sit permanently at zero, the same
-    degenerate-bit class the long-arithmetic packing fix addressed."""
+    degenerate-bit class the long-arithmetic packing fix addressed.
+
+    Execution (r7): the md5 mode runs as an Arrow ``mapInPandas``
+    batch kernel (:func:`_simhash_arrow`) — the Catalyst HOF form
+    evaluated an interpreted ±1 vote per token × bit (~tokens×n_bits
+    steps per row); the Arrow kernel hashes each DISTINCT token once
+    per batch and folds the votes in numpy, value-identical (pinned by
+    the golden and parity tests). The xxhash64 mode stays Catalyst —
+    Spark's codegen'd xxhash64 has no cheap Python replica."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
+    if hash_fn == "md5":
+        return _simhash_arrow(df, id_col, text_col, n_bits)
+    return _simhash_catalyst(df, id_col, text_col, n_bits, hash_fn)
+
+
+def _simhash_catalyst(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The Catalyst HOF SimHash — the xxhash64 production mode, and
+    (with md5) the parity reference for the Arrow kernel."""
     if not 1 <= n_bits <= 60:
         raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     toks = tokens(text_col)

@@ -180,6 +180,16 @@ def streaming_asof_join(
     matching operators/join.py::asof_join row-for-row (pinned by
     tests/test_cep... test_asof_stream tests and the
     asof_stream_replica driver row).
+
+    Boundary condition on the equal-ts tie rule (advisor, r6): the
+    batch rule "a right row at the identical ts is visible, greatest
+    order wins" holds in streaming only when that right row does not
+    FOLLOW the probe across a micro-batch boundary. Append-mode
+    emission is final: a same-ts right arriving in a LATER micro-batch
+    cannot retroactively re-match an already-emitted probe. Stream ==
+    batch is therefore guaranteed for any split where equal-ts rights
+    precede their probes in arrival order (the in-order input contract
+    this operator documents: compose after ordered_turns_stream).
     """
     import pickle
     from typing import Iterable
@@ -190,6 +200,17 @@ def streaming_asof_join(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    _RESERVED = {"key", "order", "ts", "_is_r", "_bkt"}
+    clash = set(right_cols) & _RESERVED
+    if clash:
+        # same guard as asof_join's right_cols/left clash: a collision
+        # with the internal frame names would duplicate columns in
+        # ``src`` and break the state fn (advisor finding, r6)
+        raise ValueError(
+            f"streaming_asof_join: right_cols {sorted(clash)} collide "
+            f"with internal column names {sorted(_RESERVED)} — rename "
+            "the column before joining"
+        )
     cond = F.expr(is_right) if isinstance(is_right, str) else is_right
     src = df.select(
         F.col(key).alias("key"),
@@ -377,10 +398,15 @@ def streaming_asof_join(
                         "last_seen_us": g["ts_us"].max().to_numpy(np.int64),
                     }
                 )
+                # take the last right row ATOMICALLY: groupby().last()
+                # skips NaN per column, so a null right_col in the
+                # newest right row would tear the register (that
+                # column from an older row, ts/ord from the newest) —
+                # a mix the batch asof_join's struct-atomic payload
+                # can never produce (advisor finding, r6). r_all is
+                # already sorted by (ts_us, _ord).
                 last_r = (
-                    r_all.groupby("key", sort=False)
-                    .last()
-                    .reset_index()
+                    r_all.drop_duplicates("key", keep="last")
                     .rename(columns={"ts_us": "r_ts_us", "_ord": "r_ord"})
                     if len(r_all)
                     else None

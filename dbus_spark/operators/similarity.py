@@ -112,28 +112,70 @@ def neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine > threshold (brute force baseline)."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(vec_col).alias("na"),
+    """All pairs with cosine > threshold (brute force baseline).
+
+    Still O(n²) work by definition (this is the oracle arm), but
+    executed as a BLOCKED grid instead of a row-level cross join: each
+    vector lands in block ``id % n_blocks``; every unordered block
+    pair {i, j} is one applyInPandas group that computes its
+    (|i| × |j|) cosine grid with the fold-exact numpy kernel and emits
+    only candidate rows above the rounding-lossless pre-filter. The
+    interpreted per-pair Catalyst fold (≈ n²·dim HOF steps — 44 s at
+    20 k vectors) becomes n²·dim numpy FMA (~seconds), each row is
+    shuffled n_blocks times instead of n times, and there is no
+    CartesianProduct left in the plan. Final values/filter stay on the
+    Spark side (``F.round(raw, 4) > threshold``) over bit-identical
+    doubles, so results match the crossJoin form exactly."""
+    B = n_blocks
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("_blk"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm(vec_col).alias("nb"),
+    # every unordered block pair {b, q}, q = 0..B-1: exactly one
+    # (gi, gj) group per pair, diagonal (b, b) generated once
+    grp = F.array(
+        *[
+            F.struct(
+                F.least("_blk", F.lit(q)).alias("gi"),
+                F.greatest("_blk", F.lit(q)).alias("gj"),
+            )
+            for q in range(B)
+        ]
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
+    exploded = src.select(
+        "_id", "_v", "_blk", F.explode(grp).alias("_g")
+    ).select("_id", "_v", "_blk", F.col("_g.gi"), F.col("_g.gj"))
+    margin = _round_gt_margin(threshold)
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        if gi == gj:
+            ids = pdf["_id"].to_numpy(np.int64)
+            if len(ids) < 2:
+                return _empty_pairs()
+            V = _stack(pdf["_v"])
+            nrm = _row_norms(V)
+            return _pair_rows_grid(ids, V, nrm, ids, V, nrm, margin, True)
+        am = pdf["_blk"].to_numpy() == gi
+        pa, pb = pdf[am], pdf[~am]
+        if not len(pa) or not len(pb):
+            return _empty_pairs()
+        Va, Vb = _stack(pa["_v"]), _stack(pb["_v"])
+        return _pair_rows_grid(
+            pa["_id"].to_numpy(np.int64), Va, _row_norms(Va),
+            pb["_id"].to_numpy(np.int64), Vb, _row_norms(Vb),
+            margin, False,
         )
-        .filter(F.col("sim") > threshold)
+
+    raw = exploded.groupBy("gi", "gj").applyInPandas(
+        verify, schema="id_a long, id_b long, _raw double"
     )
+    return raw.select(
+        "id_a", "id_b", F.round(F.col("_raw"), 4).alias("sim")
+    ).filter(F.col("sim") > threshold)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
@@ -162,6 +204,121 @@ def _stack(vecs: pd.Series) -> np.ndarray:
     # cast to float64 is exact (widening), matching Catalyst's
     # cast("array<double>") before its fold.
     return np.stack(vecs.to_numpy()).astype(np.float64)
+
+
+def _row_norms(V: np.ndarray) -> np.ndarray:
+    """sqrt of the LEFT-TO-RIGHT self-dot per row — bit-identical to
+    Catalyst's ``sqrt(aggregate(zip_with(v, v, *), 0.0, +))`` (same
+    association as :func:`_fold_dots`; IEEE sqrt is correctly rounded
+    in both engines)."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc += V[:, i] * V[:, i]
+    return np.sqrt(acc)
+
+
+# conservative pre-filter band for `F.round(sim, 4) > threshold`:
+# round-half-up moves a value by at most 5e-5, so anything at or above
+# threshold + 5e-5 - 1e-9 COULD pass the Spark-side filter; the exact
+# F.round(...) > threshold applied downstream makes the final decision
+# on bit-identical doubles, so the pre-filter only has to be lossless,
+# not exact.
+def _round_gt_margin(threshold: float) -> float:
+    return threshold + 5e-5 - 1e-9
+
+
+def _pair_rows_grid(
+    ids_a: np.ndarray,
+    V_a: np.ndarray,
+    n_a: np.ndarray,
+    ids_b: np.ndarray,
+    V_b: np.ndarray,
+    n_b: np.ndarray,
+    margin: float,
+    same: bool,
+    chunk: int = 1024,
+) -> "pd.DataFrame":
+    """Candidate pairs of one bucket/block, verified in numpy: the
+    full (|a| × |b|) cosine grid via the fold-exact dots, pre-filtered
+    at ``margin``, emitted as (id_a, id_b, _raw) with id_a < id_b.
+    ``same=True`` means the two sides are the same row set (upper
+    triangle only). Chunked over the a-side so the live grid stays
+    ≤ chunk × |b| doubles regardless of bucket skew.
+
+    Bit-exactness: the per-pair value depends only on the two rows'
+    float64 vectors (per-dimension FMA order fixed by :func:`_fold_dots`,
+    denominator ``na * nb`` first, one division) — identical to what
+    Catalyst's interpreted fold would produce for that pair, and
+    independent of which bucket (or chunk) computed it, so multi-table
+    duplicates of a pair carry bitwise-equal ``_raw`` and collapse in a
+    plain ``distinct``."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for lo in range(0, len(ids_a), chunk):
+        hi = min(lo + chunk, len(ids_a))
+        dots = np.zeros((hi - lo, len(ids_b)), dtype=np.float64)
+        Va = V_a[lo:hi]
+        for i in range(Va.shape[1]):
+            dots += Va[:, i, None] * V_b[None, :, i]
+        sims = dots / (n_a[lo:hi, None] * n_b[None, :])
+        mask = sims >= margin
+        if same:
+            # strict upper triangle in ROW ORDER; ids orient below
+            cols = np.arange(len(ids_b))[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            mask &= cols > rows
+        else:
+            mask &= ids_a[lo:hi, None] != ids_b[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii):
+            ia = ids_a[lo + ii]
+            ib = ids_b[jj]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_s.append(sims[ii, jj])
+    if not out_a:
+        return _empty_pairs()
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "_raw": np.concatenate(out_s),
+        }
+    )
+
+
+def _empty_pairs() -> "pd.DataFrame":
+    return pd.DataFrame(
+        {
+            "id_a": np.array([], np.int64),
+            "id_b": np.array([], np.int64),
+            "_raw": np.array([], np.float64),
+        }
+    )
+
+
+def _passes_round_gt(sims: np.ndarray, thr: float) -> np.ndarray:
+    """Exact replica of Spark's ``F.round(sim, 4) > thr`` over raw
+    sims whose bits match what Catalyst would compute. Fast path: the
+    HALF_UP cut sits at thr + 5e-5, so values clearly on either side
+    decide by comparison alone; the (astronomically rare) values
+    within 1e-9 of the cut are resolved with decimal HALF_UP over the
+    shortest round-trip repr — the same BigDecimal.valueOf(double)
+    semantics Spark's Round uses."""
+    cut = thr + 5e-5
+    out = sims > cut
+    band = np.abs(sims - cut) < 1e-9
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        flat = np.argwhere(band)
+        for idx in flat:
+            v = float(sims[tuple(idx)])
+            r = float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+            out[tuple(idx)] = r > thr
+    return out
 
 
 def lsh_bucket(
@@ -618,6 +775,23 @@ def lsh_bucket_tables(
     projections happen in ONE Arrow pandas_udf against the stacked
     plane matrix (fold-exact, see module docstring) — plan size is
     independent of dim and table count."""
+    return df.withColumn(
+        "_tb",
+        _srp_table_buckets_udf(dim, n_tables, planes_per_table, seed)(
+            F.col(vec_col)
+        ),
+    ).select(
+        F.col(id_col), F.posexplode("_tb").alias("tbl", "bucket")
+    )
+
+
+def _srp_table_buckets_udf(
+    dim: int, n_tables: int, planes_per_table: int, seed: int
+):
+    """The multi-table SRP projection as a reusable Arrow UDF — shared
+    by :func:`lsh_bucket_tables` (ids-only exploded stream) and the
+    group-side verify path of :func:`neardup_pairs_lsh` (which carries
+    the vector through the same explode)."""
     P = np.asarray(
         _hyperplanes(n_tables * planes_per_table, dim, seed),
         dtype=np.float64,
@@ -632,11 +806,7 @@ def lsh_bucket_tables(
         buckets = bits.reshape(len(vecs), n_tables, planes_per_table) @ weights
         return pd.Series(list(buckets))
 
-    return df.withColumn(
-        "_tb", srp_table_buckets(F.col(vec_col))
-    ).select(
-        F.col(id_col), F.posexplode("_tb").alias("tbl", "bucket")
-    )
+    return srp_table_buckets
 
 
 def neardup_pairs_lsh(
@@ -675,51 +845,49 @@ def neardup_pairs_lsh(
     hashing together) costs |cell|² join rows while its pairs are the
     least informative; capping bounds the worst hot key at
     max_bucket² regardless of data skew. Off by default (the oracle
-    mirrors the uncapped construction)."""
-    tb = lsh_bucket_tables(
-        df, dim, n_tables, planes_per_table, seed, id_col, vec_col
+    mirrors the uncapped construction).
+
+    Execution (r7): candidates are generated AND verified inside each
+    (table, bucket) group — the vector rides the explode (|docs|·
+    n_tables rows, one 64-float payload each) into a
+    groupBy(tbl, bucket).applyInPandas that computes the in-bucket
+    cosine grid with the fold-exact numpy kernel and emits only rows
+    above the rounding-lossless pre-filter. This replaces the former
+    ids-only bucket join whose tens of millions of candidate rows each
+    paid an interpreted Catalyst fold in a post-``distinct`` verify
+    (the r6 profile: ~100 M candidate rows at 20 k vectors). A pair
+    colliding in several tables carries bitwise-equal ``_raw`` from
+    every group (the value depends only on the two vectors), so the
+    ``distinct`` collapses duplicates exactly as before; the final
+    round + threshold filter stays on the Spark side."""
+    tb = df.withColumn(
+        "_tb",
+        _srp_table_buckets_udf(dim, n_tables, planes_per_table, seed)(
+            F.col(vec_col)
+        ),
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode("_tb").alias("tbl", "bucket"),
     )
-    if max_bucket is not None:
-        # window count, not groupBy+semi-join: the cap rides the SAME
-        # (tbl, bucket) shuffle the pair join needs — a semi-join form
-        # would re-evaluate the whole projection subtree for both the
-        # aggregate branch and the probe side (review finding)
-        tb = (
-            tb.withColumn(
-                "_n",
-                F.count("*").over(Window.partitionBy("tbl", "bucket")),
-            )
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-    a, b = tb.alias("a"), tb.alias("b")
-    cand = (
-        a.join(b, on=["tbl", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(vec_col).alias("na"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm(vec_col).alias("nb"),
+    margin = _round_gt_margin(threshold)
+
+    def verify(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or (
+            max_bucket is not None and len(pdf) > max_bucket
+        ):
+            return _empty_pairs()
+        ids = pdf["_id"].to_numpy(np.int64)
+        V = _stack(pdf["_v"])
+        nrm = _row_norms(V)
+        return _pair_rows_grid(ids, V, nrm, ids, V, nrm, margin, True)
+
+    raw = tb.groupBy("tbl", "bucket").applyInPandas(
+        verify, schema="id_a long, id_b long, _raw double"
     )
     return (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
-        )
+        raw.distinct()
+        .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("sim"))
         .filter(F.col("sim") > threshold)
     )
 
@@ -751,7 +919,14 @@ def neardup_pairs_ivf(
 
     ``max_cell`` mirrors ``max_bucket`` on the LSH path: drop cells
     holding more vectors than the cap before pairing (off by default;
-    the oracle mirrors the uncapped construction)."""
+    the oracle mirrors the uncapped construction).
+
+    Execution (r7): same group-side generate-and-verify as
+    :func:`neardup_pairs_lsh` — the vector rides the multi-probe
+    explode into a groupBy(cell).applyInPandas computing the in-cell
+    cosine grid fold-exact in numpy; ``distinct`` collapses pairs
+    sharing both probed cells (bitwise-equal ``_raw``); round +
+    threshold stay Spark-side."""
     cents = centroids if centroids is not None else ivf_centroids(
         n_centroids, dim, seed
     )
@@ -773,44 +948,28 @@ def neardup_pairs_ivf(
         n_probes,
     )
     probed = df.select(
-        F.col(id_col), F.explode(entries).alias("e")
-    ).select(id_col, (-F.col("e.negc")).cast("int").alias("cell"))
-    if max_cell is not None:
-        probed = (
-            probed.withColumn(
-                "_n", F.count("*").over(Window.partitionBy("cell"))
-            )
-            .filter(F.col("_n") <= max_cell)
-            .drop("_n")
-        )
-    a, b = probed.alias("a"), probed.alias("b")
-    cand = (
-        a.join(b, on="cell")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(vec_col).alias("na"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm(vec_col).alias("nb"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(entries).alias("e"),
+    ).select("_id", "_v", (-F.col("e.negc")).cast("int").alias("cell"))
+    margin = _round_gt_margin(threshold)
+
+    def verify(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or (
+            max_cell is not None and len(pdf) > max_cell
+        ):
+            return _empty_pairs()
+        ids = pdf["_id"].to_numpy(np.int64)
+        V = _stack(pdf["_v"])
+        nrm = _row_norms(V)
+        return _pair_rows_grid(ids, V, nrm, ids, V, nrm, margin, True)
+
+    raw = probed.groupBy("cell").applyInPandas(
+        verify, schema="id_a long, id_b long, _raw double"
     )
     return (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
-        )
+        raw.distinct()
+        .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("sim"))
         .filter(F.col("sim") > threshold)
     )
 
@@ -952,6 +1111,16 @@ def semdedup(
     ``max_cell``).  Centroid norms are injected as literals computed
     once at plan time, so the Spark plan and the SQL oracle consume
     bit-identical constants.
+
+    Execution (r7): the within-cell pair join + anti-join became ONE
+    groupBy(cell).applyInPandas — each cell sorts its rows by the
+    keep-rank (cent_sim, id), computes the in-cell cosine grid with
+    the fold-exact numpy kernel, and drops every row with an
+    above-threshold neighbor of strictly better rank. The drop
+    decision replicates ``F.round(sim, 4) > threshold`` bit-exactly
+    (:func:`_passes_round_gt`); cent_sim itself is still computed and
+    rounded on the Spark side before the shuffle, so emitted values
+    are unchanged.
     """
     cents = centroids if centroids is not None else ivf_centroids(
         n_centroids, dim, seed
@@ -974,47 +1143,65 @@ def semdedup(
         )
         .withColumn("_vnorm", norm(vec_col))
         .select(
-            F.col(id_col),
+            F.col(id_col).alias("_id"),
             "cell",
             F.round(F.col("_cdot") / (F.col("_vnorm") * F.col("_cnorm")), 4)
             .alias("cent_sim"),
             F.col(vec_col).alias("_vec"),
-            F.col("_vnorm"),
         )
     )
-    x = base.select(
-        F.col(id_col).alias("_x_id"),
-        F.col("cell"),
-        F.col("cent_sim").alias("_x_cs"),
-        F.col("_vec").alias("_x_vec"),
-        F.col("_vnorm").alias("_x_n"),
-    )
-    y = base.select(
-        F.col(id_col).alias("_y_id"),
-        F.col("cell"),
-        F.col("cent_sim").alias("_y_cs"),
-        F.col("_vec").alias("_y_vec"),
-        F.col("_vnorm").alias("_y_n"),
-    )
-    dropped = (
-        x.join(y, on="cell")
-        .filter(F.col("_x_id") != F.col("_y_id"))
-        .filter(
-            (F.col("_y_cs") < F.col("_x_cs"))
-            | (
-                (F.col("_y_cs") == F.col("_x_cs"))
-                & (F.col("_y_id") < F.col("_x_id"))
-            )
+
+    def keep(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        # rows with a null vector OR NaN cent_sim (zero-norm vectors)
+        # sit outside the drop rule entirely: every (cs, id) comparison
+        # against NaN is false in the join form, so they are never
+        # dropped and never drop others
+        has_vec = (
+            pdf["_vec"].notna() & pdf["cent_sim"].notna()
+        ).to_numpy()
+        sub = pdf[has_vec]
+        kept_parts = [pdf[~has_vec]]
+        if len(sub) >= 2:
+            ids = sub["_id"].to_numpy(np.int64)
+            cs = sub["cent_sim"].to_numpy(np.float64)
+            # keep-rank order: (cent_sim ASC, id ASC) — a row can only
+            # be dropped by a strictly earlier row in this order
+            order = np.lexsort((ids, cs))
+            V = _stack(sub["_vec"].iloc[order])
+            nrm = _row_norms(V)
+            n = len(order)
+            dropped_sorted = np.zeros(n, dtype=bool)
+            chunk = 1024
+            for lo in range(1, n, chunk):
+                hi = min(lo + chunk, n)
+                dots = np.zeros((hi - lo, n), dtype=np.float64)
+                Va = V[lo:hi]
+                for i in range(Va.shape[1]):
+                    dots += Va[:, i, None] * V[None, :, i]
+                sims = dots / (nrm[lo:hi, None] * nrm[None, :])
+                passed = _passes_round_gt(sims, threshold)
+                # strictly-better-ranked neighbors only: q < p
+                cols = np.arange(n)[None, :]
+                rows = np.arange(lo, hi)[:, None]
+                dropped_sorted[lo:hi] = (passed & (cols < rows)).any(
+                    axis=1
+                )
+            keep_idx = order[~dropped_sorted]
+            kept_parts.append(sub.iloc[np.sort(keep_idx)])
+        else:
+            kept_parts.append(sub)
+        out = pd.concat(kept_parts, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "_id": out["_id"].to_numpy(np.int64),
+                "cell": np.full(len(out), cell, dtype=np.int32),
+                "cent_sim": out["cent_sim"].to_numpy(np.float64),
+            }
         )
-        .filter(
-            F.round(
-                cosine_pre("_x_vec", "_y_vec", "_x_n", "_y_n"), 4
-            )
-            > threshold
-        )
-        .select(F.col("_x_id").alias(id_col))
-        .distinct()
-    )
-    return base.join(dropped, on=id_col, how="left_anti").select(
-        id_col, "cell", "cent_sim"
+
+    return (
+        base.groupBy("cell")
+        .applyInPandas(keep, schema="_id long, cell int, cent_sim double")
+        .select(F.col("_id").alias(id_col), "cell", "cent_sim")
     )

@@ -162,3 +162,85 @@ def test_asof_stream_dedups_redelivery(spark, events_pd, tmp_path):
     )
     got = _run_stream(spark, feed, tmp_path, 5, "dup")
     assert got == exp
+
+
+def test_asof_register_atomic_with_null_right_col(spark, tmp_path):
+    """The register fold must take the newest right row ATOMICALLY
+    (advisor r6): when the latest click carries a NULL in one right_col
+    and the probe arrives in a LATER micro-batch, the carried values
+    must all come from that newest click — a per-column groupby().last()
+    (pandas skipna) would tear the register, mixing the older click's
+    non-null value with the newest click's ts/order."""
+    base = dt.datetime(2026, 3, 1)
+    rows = pd.DataFrame(
+        {
+            "user": ["u1", "u1", "u1"],
+            "order": [1, 2, 3],
+            "kind": ["click", "click", "buy"],
+            "ref_id": pd.array([1, 2, None], dtype="Int64"),
+            # newest click's aux is NULL — the tear bait (string dtype
+            # pinned so the all-null second file keeps a string column)
+            "aux": pd.array(["A", None, None], dtype="string"),
+            "ts": pd.to_datetime(
+                [base + dt.timedelta(seconds=s) for s in (0, 60, 120)]
+            ).astype("datetime64[us]"),
+        }
+    )
+    in_dir = tmp_path / "in_asof_tear"
+    os.makedirs(in_dir)
+    # split so the probe is in its own micro-batch: the register must
+    # be read back from STATE, not recomputed from the live batch
+    rows.iloc[:2].to_parquet(in_dir / "b-0000.parquet", index=False)
+    rows.iloc[2:].to_parquet(in_dir / "b-0001.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "user string, order long, kind string, ref_id long, "
+            "aux string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    v = streaming_asof_join(
+        src,
+        is_right="kind = 'click'",
+        right_cols=["ref_id", "aux"],
+        key="user",
+        order="order",
+        ts="ts",
+        n_buckets=4,
+        ttl_ms=86_400_000,
+    )
+    got = []
+    q = (
+        v.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_asof_tear"))
+        .foreachBatch(lambda b, _e: got.append(b.toPandas()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = pd.concat(got, ignore_index=True)
+    assert len(out) == 1
+    r = out.iloc[0]
+    # atomic register: BOTH carried columns come from click order=2
+    assert int(r["ref_id"]) == 2
+    assert r["aux"] is None or pd.isna(r["aux"])
+
+
+def test_streaming_asof_rejects_reserved_right_cols(spark):
+    """right_cols colliding with the internal frame names must raise
+    the same clear ValueError the batch asof_join gives for clashes."""
+    df = spark.createDataFrame(
+        [], "user string, order long, kind string, ts timestamp"
+    )
+    src = df  # schema-only use; the guard fires before any plan work
+    with pytest.raises(ValueError, match="collide"):
+        streaming_asof_join(
+            src,
+            is_right="kind = 'click'",
+            right_cols=["order"],
+            key="user",
+            order="order",
+            ts="ts",
+        )

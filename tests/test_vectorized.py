@@ -106,3 +106,45 @@ def test_doc_enrich_v_matches_single_column_udfs(spark):
         .toString()
     )
     assert plan.count("_doc_enrich_v") == 1, plan
+
+
+def test_turn_enrich_fused_matches_singles(spark):
+    """r7: the fused one-crossing enrich struct must equal the five
+    single-column UDFs on hostile inputs (null, empty, punctuation,
+    tabs, unicode whitespace)."""
+    from dbus_spark.functions.vectorized import (
+        fingerprint64_v,
+        turn_enrich_v,
+    )
+
+    rows = [
+        ("the cat and the hat is a cat",),
+        ("le chat et la maison des les",),
+        ("xyzzy plugh quux",),
+        ("",),
+        (" ",),
+        (None,),
+        ("the, cat. and; the!",),
+        ("tabs\tand\nnewlines the of is",),
+        ("el los las que y " * 40,),
+        ("x",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = df.select(
+        turn_enrich_v("text").alias("e"),
+        token_count_v("text").alias("n_tokens"),
+        fingerprint64_v("text").alias("fp64"),
+        lang_id_v("text").alias("lang"),
+        stopword_ratio_v("text").alias("stop_ratio"),
+        quality_score_v("text").alias("quality"),
+    ).collect()
+    for r in got:
+        e = r["e"]
+        assert e["n_tokens"] == r["n_tokens"]
+        assert e["fp64"] == r["fp64"]
+        assert e["lang"] == r["lang"]
+        assert e["stop_ratio"] == r["stop_ratio"]
+        assert (
+            e["quality"] == r["quality"]
+            or (e["quality"] is None and r["quality"] is None)
+        )
