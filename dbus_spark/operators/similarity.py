@@ -227,6 +227,30 @@ def _round_gt_margin(threshold: float) -> float:
     return threshold + 5e-5 - 1e-9
 
 
+# Error bound between a BLAS dot product and the fold-exact
+# left-to-right accumulation: |blas - fold| <= 2 * dim * eps * |a||b|
+# (standard float64 summation bound, both orders), so on the
+# normalized cosine the divergence is < ~1.5e-13 at dim 1536. A 1e-9
+# screening band is therefore four orders of magnitude conservative:
+# any pair whose BLAS cosine is below (margin - _BLAS_BAND) cannot
+# reach margin under the fold order, and only pairs inside the band
+# or above it are re-computed fold-exact. This keeps every EMITTED
+# value bit-identical to the all-fold kernel while the O(|a|·|b|·dim)
+# grid runs as one matmul instead of dim interpreted rank-1 updates.
+_BLAS_BAND = 1e-9
+
+
+def _fold_dots_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise fold-exact dots for PAIRED rows (A[i]·B[i]): the same
+    left-to-right per-dimension association as :func:`_fold_dots`,
+    vectorized across the pair list — used to re-compute exactly the
+    (few) grid entries that survive the BLAS pre-filter."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * B[:, i]
+    return acc
+
+
 def _pair_rows_grid(
     ids_a: np.ndarray,
     V_a: np.ndarray,
@@ -257,12 +281,11 @@ def _pair_rows_grid(
     out_s: list[np.ndarray] = []
     for lo in range(0, len(ids_a), chunk):
         hi = min(lo + chunk, len(ids_a))
-        dots = np.zeros((hi - lo, len(ids_b)), dtype=np.float64)
         Va = V_a[lo:hi]
-        for i in range(Va.shape[1]):
-            dots += Va[:, i, None] * V_b[None, :, i]
-        sims = dots / (n_a[lo:hi, None] * n_b[None, :])
-        mask = sims >= margin
+        # BLAS screening pass (see _BLAS_BAND): one matmul finds every
+        # grid entry that COULD reach the margin under the fold order
+        sims = (Va @ V_b.T) / (n_a[lo:hi, None] * n_b[None, :])
+        mask = sims >= margin - _BLAS_BAND
         if same:
             # strict upper triangle in ROW ORDER; ids orient below
             cols = np.arange(len(ids_b))[None, :]
@@ -272,11 +295,19 @@ def _pair_rows_grid(
             mask &= ids_a[lo:hi, None] != ids_b[None, :]
         ii, jj = np.nonzero(mask)
         if len(ii):
+            # fold-exact re-compute of ONLY the screened pairs — the
+            # emitted _raw is bit-identical to the all-fold kernel
+            exact = _fold_dots_pairs(Va[ii], V_b[jj]) / (
+                n_a[lo + ii] * n_b[jj]
+            )
+            keep = exact >= margin
+            ii, jj, exact = ii[keep], jj[keep], exact[keep]
+        if len(ii):
             ia = ids_a[lo + ii]
             ib = ids_b[jj]
             out_a.append(np.minimum(ia, ib))
             out_b.append(np.maximum(ia, ib))
-            out_s.append(sims[ii, jj])
+            out_s.append(exact)
     if not out_a:
         return _empty_pairs()
     return pd.DataFrame(
@@ -1173,14 +1204,24 @@ def semdedup(
             n = len(order)
             dropped_sorted = np.zeros(n, dtype=bool)
             chunk = 1024
+            cut = threshold + 5e-5
             for lo in range(1, n, chunk):
                 hi = min(lo + chunk, n)
-                dots = np.zeros((hi - lo, n), dtype=np.float64)
                 Va = V[lo:hi]
-                for i in range(Va.shape[1]):
-                    dots += Va[:, i, None] * V[None, :, i]
-                sims = dots / (nrm[lo:hi, None] * nrm[None, :])
-                passed = _passes_round_gt(sims, threshold)
+                # BLAS screening + fold-exact band re-compute (see
+                # _BLAS_BAND): decisions are identical to the all-fold
+                # _passes_round_gt because only entries within 1e-9 of
+                # the HALF_UP cut can differ between the two orders,
+                # and exactly those are re-computed fold-exact
+                sims = (Va @ V.T) / (nrm[lo:hi, None] * nrm[None, :])
+                passed = sims > cut
+                band = np.abs(sims - cut) < _BLAS_BAND
+                if band.any():
+                    bi, bj = np.nonzero(band)
+                    exact = _fold_dots_pairs(Va[bi], V[bj]) / (
+                        nrm[lo + bi] * nrm[bj]
+                    )
+                    passed[bi, bj] = _passes_round_gt(exact, threshold)
                 # strictly-better-ranked neighbors only: q < p
                 cols = np.arange(n)[None, :]
                 rows = np.arange(lo, hi)[:, None]
