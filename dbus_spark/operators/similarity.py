@@ -517,6 +517,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     init: str = "seeded",
     id_col: str = "vec_id",
+    small_input_threshold: int = 200_000,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd's) over the embedding table — the
     training pass that turns the seeded IVF stand-ins into real
@@ -539,6 +540,40 @@ def kmeans_centroids(
     replica (:func:`kmeans_centroids_local`) is quashed by the
     rounding — the two trainers produce identical centroids, which is
     what lets the DuckDB oracle inline them."""
+    # Size-adaptive strategy, the components_from_pairs philosophy:
+    # training is ceil((k-1)/batch) + n_iter sequential Spark jobs
+    # whose per-round scheduling dwarfs the arithmetic on a small
+    # table (k·dim scalars of real work per round). Below the
+    # threshold, collect the (id, vec) projection once and run the
+    # numpy replica — the SAME function the oracle generator and the
+    # equivalence test pin bit-for-bit against the distributed
+    # trainer, applied in id order exactly as the oracle does, so the
+    # centroids are identical BY CONSTRUCTION rather than by the
+    # rounding protocol. Above it, the distributed rounds-only path
+    # is unchanged (the 100 TB shape: one scan per round, partial
+    # sums to the driver).
+    train = df.select(id_col, vec_col)
+    n_rows = train.count()
+    if n_rows <= small_input_threshold:
+        pdf = train.toPandas()
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        V = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        if V.shape[1] != dim:
+            raise ValueError(
+                f"kmeans_centroids: dim={dim} but {vec_col} vectors "
+                f"have {V.shape[1]} components"
+            )
+        return kmeans_centroids_local(
+            V, n_centroids, seed, n_iter, init, ids=ids[order]
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    df = train
     if init == "kpp":
         C = np.asarray(
             kmeanspp_init(df, dim, n_centroids, vec_col, id_col),
@@ -589,6 +624,7 @@ def kmeans_centroids(
             if nv > 0:
                 v = v / nv
             C[c] = np.round(v, 6)
+    train.unpersist()
     return C.tolist()
 
 
