@@ -190,50 +190,54 @@ def ngram_jaccard_pairs(
     count² join rows (the hot-key blowup). With it set, similarity is
     Jaccard over the *rare-shingle* sets of each doc (set sizes are
     recomputed after the cut, so the measure stays a true Jaccard)."""
+    # Execution (r7): ONE shuffle of the (s, id) shingle stream into s
+    # segments; the run-length kernel applies max_df locally (a
+    # segment's length IS its shingle's document frequency after hash
+    # partitioning), emits the shared-shingle pair stream AND one
+    # (id, id) self row per surviving shingle — so a single
+    # aggregation produces both the pair commons and the per-doc
+    # rare-set sizes. The former plan paid a persisted scan, a
+    # df-count aggregation, a semi-join, a two-sided self-join and a
+    # separate sizes aggregation (5 exchanges of the shingle stream).
+    # The (tiny) sizes frame attaches to the (tiny) pair set with two
+    # broadcast-eligible joins; values are unchanged (pinned by parity
+    # test and the DuckDB oracle).
     sh = shingles_exploded_arrow(df, id_col, text_col, n)
-    # materialize the exploded shingles once: the df-cut aggregate, the
-    # size aggregate and BOTH sides of the self-join would otherwise
-    # re-run the (expensive) shingling subtree 4x — the DataFrame
-    # analog of the reference's refcount sharing (engine/packet.go)
-    sh = sh.persist()
-    if max_df is not None:
-        rare = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("s")
-        )
-        sh = sh.join(rare, on="s", how="left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # set sizes join AFTER the pair aggregation: the shingle self-join
-    # and the (id_a, id_b) shuffle are the heavy paths — keep their
-    # rows at two ids wide; n_sh attaches to the (small) pair set
+    seg = _segment_pairs(
+        sh.select("s", id_col), ["s"], id_col, max_df, emit_self=True
+    )
+    agg = seg.groupBy("id_a", "id_b").agg(F.count("*").alias("_cnt"))
+    # materialize the aggregated (pair + size) frame ONCE: it feeds
+    # three subtrees below, and Spark does not reuse mapInPandas
+    # exchanges across them (verified: 3x kernel executions without
+    # this). localCheckpoint blocks are reference-tracked and
+    # GC-cleaned, so nothing leaks into the session.
+    agg = agg.localCheckpoint(eager=True)
+    sizes = agg.filter(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("_sid"), F.col("_cnt").alias("n_sh")
+    )
+    # sizes is |docs|-sized: leave the join strategy to AQE (broadcast
+    # when it fits, sort-merge at scale) — the exchange feeding `agg`
+    # is reused across the three subtrees, so the shingle kernel and
+    # its shuffle run once
     pairs = (
-        a.join(b, on="s")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        agg.filter(F.col("id_a") < F.col("id_b"))
+        .withColumnRenamed("_cnt", "common")
+        .join(
+            sizes.select(F.col("_sid").alias("id_a"),
+                         F.col("n_sh").alias("n_a")),
+            on="id_a",
         )
-        .agg(F.count("*").alias("common"))
-        .join(sizes.select(F.col(id_col).alias("id_a"),
-                           F.col("n_sh").alias("n_a")), on="id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"),
-                           F.col("n_sh").alias("n_b")), on="id_b")
+        .join(
+            sizes.select(F.col("_sid").alias("id_b"),
+                         F.col("n_sh").alias("n_b")),
+            on="id_b",
+        )
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    out = pairs.select(
+    return pairs.select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") > threshold)
-    # materialize the (threshold-filtered, small) pair set eagerly and
-    # release the shared shingle cache: without this every invocation
-    # leaks its cached blocks into the session (localCheckpoint blocks
-    # are reference-tracked and GC-cleaned, cacheManager entries are not)
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
 
 
 def _winnow_fingerprints_arrow(
@@ -436,6 +440,103 @@ def _winnow_fingerprints_catalyst(
     )
 
 
+def _segment_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_df: int | None,
+    emit_self: bool = False,
+) -> DataFrame:
+    """Within-segment (id_a < id_b) pair enumeration after ONE shuffle:
+    repartition on the key(s), sort within partitions, and emit every
+    same-key pair from a run-length kernel — the self-join-free pair
+    generator (the `_bucketed_hamming_pairs` geometry, without a
+    sketch verify).  ``max_df`` drops whole segments longer than the
+    cap BEFORE pairing: hash partitioning puts every row of a key into
+    one segment, so the segment length IS that key's document
+    frequency — the df-cut needs no separate aggregation or semi-join.
+    Pair-list construction is chunked so live arrays stay bounded even
+    when one key is quadratic-hot (only possible with max_df=None).
+
+    ``emit_self`` additionally emits one (id, id) row per SURVIVING
+    input row — a per-doc set-size carrier: downstream, rows with
+    id_a == id_b count the doc's surviving keys while id_a < id_b rows
+    count shared keys, so one aggregation yields both."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = keyed.schema[id_col].dataType.simpleString()
+
+    def gen(it):
+        chunks = [p for p in it if len(p)]
+        if not chunks:
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        for c in key_cols:
+            a = pdf[c].to_numpy()
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change[1:]) + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_of_row = np.repeat(np.arange(len(starts)), lens)
+        rep = lens[seg_of_row] - (np.arange(n) - starts[seg_of_row]) - 1
+        if max_df is not None:
+            rep = np.where(lens[seg_of_row] <= max_df, rep, 0)
+        ids = pdf[id_col].to_numpy()
+        if emit_self:
+            alive = (
+                lens[seg_of_row] <= max_df
+                if max_df is not None
+                else np.ones(n, dtype=bool)
+            )
+            if alive.any():
+                sid = ids[alive]
+                yield pd.DataFrame({"id_a": sid, "id_b": sid})
+        csum = np.concatenate([[0], np.cumsum(rep)])
+        total = int(csum[-1])
+        if total == 0:
+            if not emit_self:
+                yield pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0]}
+                )
+            return
+        CHUNK = 4_000_000
+        lo_row = 0
+        while lo_row < n:
+            hi_row = int(
+                np.searchsorted(csum, csum[lo_row] + CHUNK, side="left")
+            )
+            hi_row = min(max(hi_row, lo_row + 1), n)
+            r = rep[lo_row:hi_row]
+            t = int(r.sum())
+            if t:
+                a_idx = np.repeat(np.arange(lo_row, hi_row), r)
+                w = np.arange(t) - np.repeat(
+                    np.cumsum(np.concatenate([[0], r[:-1]])), r
+                )
+                b_idx = a_idx + 1 + w
+                ia, ib = ids[a_idx], ids[b_idx]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                    }
+                )
+            lo_row = hi_row
+
+    part = keyed.repartition(
+        *[F.col(c) for c in key_cols]
+    ).sortWithinPartitions(*key_cols)
+    return part.mapInPandas(
+        gen, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+
+
 def winnow_match_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -450,41 +551,28 @@ def winnow_match_pairs(
     documents sharing at least ``min_shared`` selected fingerprints,
     with the shared count — near-verbatim overlap detection (any
     common substring of length ≥ w+k-1 is guaranteed to surface at
-    least one shared fingerprint). Same distributed geometry as the
-    shingle-Jaccard join: shuffle on fingerprint, ``max_df`` cuts
-    non-discriminative hot fingerprints (boilerplate shared by many
-    docs) before the pair blowup, count aggregation on the (small)
-    pair set."""
-    # keep the PERSISTED reference separate from the df-cut rebinding:
-    # unpersisting the semi-joined frame would be a no-op and leak the
-    # cached fingerprint blocks into the session (review finding,
-    # confirmed via getRDDStorageInfo)
+    least one shared fingerprint).
+
+    Execution (r7): ONE shuffle of the (id, fp) stream into fp
+    segments + run-length pair enumeration (:func:`_segment_pairs`),
+    then the pair-count aggregation.  The former plan paid a persisted
+    scan, a df-count aggregation, a semi-join, and a two-sided
+    self-join (4 exchanges of the fingerprint stream); the segment
+    form applies ``max_df`` locally — a segment's length is its
+    fingerprint's document frequency — and emits exactly the join's
+    pair multiset (per-doc fingerprints are distinct, so multiplicity
+    per shared fp is 1; pinned by parity test)."""
     base = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn).filter(
         F.col("fp").isNotNull()
-    ).persist()
-    fps = base
-    if max_df is not None:
-        rare = (
-            base.groupBy("fp")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("fp")
-        )
-        fps = base.join(rare, on="fp", how="left_semi")
-    a, b = fps.alias("a"), fps.alias("b")
-    out = (
-        a.join(b, on="fp")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    )
+    pairs = _segment_pairs(
+        base.select("fp", id_col), ["fp"], id_col, max_df
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    out = out.localCheckpoint(eager=True)  # release the shared scan
-    base.unpersist()
-    return out
 
 
 def _popcount64(v: "object") -> "object":
@@ -502,6 +590,21 @@ def _popcount64(v: "object") -> "object":
     return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
         np.int64
     )
+
+
+def _popcount32(v: "object") -> "object":
+    """32-bit SWAR popcount over uint32 — half the memory traffic and
+    ~3x the throughput of the 64-bit form (measured); used by the pair
+    kernel whenever every sketch in the partition fits 32 bits (the
+    default n_bits=32 sketches always do)."""
+    import numpy as np
+
+    v = v - ((v >> np.uint32(1)) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + (
+        (v >> np.uint32(2)) & np.uint32(0x33333333)
+    )
+    v = (v + (v >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return (v * np.uint32(0x01010101)) >> np.uint32(24)
 
 
 def _bucketed_hamming_pairs(
@@ -592,6 +695,13 @@ def _bucketed_hamming_pairs(
         keyarrs = [pdf[c].to_numpy(np.int64) for c in seg_cols]
         ids = pdf[id_col].to_numpy(np.int64)
         sks = pdf["simhash"].to_numpy(np.int64)
+        # 32-bit fast path: xor + popcount at half the memory traffic
+        # (identical hamming values — pinned by the parity suite)
+        sks32 = (
+            sks.astype(np.uint32)
+            if n and 0 <= sks.min() and sks.max() < (1 << 32)
+            else None
+        )
         change = np.zeros(n, dtype=bool)
         for a in keyarrs:
             change[1:] |= a[1:] != a[:-1]
@@ -637,12 +747,21 @@ def _bucketed_hamming_pairs(
             r = rep[lo_row:hi_row]
             t = int(r.sum())
             if t:
-                a_idx = np.repeat(np.arange(lo_row, hi_row), r)
-                w = np.arange(t) - np.repeat(
-                    np.cumsum(np.concatenate([[0], r[:-1]])), r
+                idx_t = np.int32 if n < (1 << 31) else np.int64
+                a_idx = np.repeat(
+                    np.arange(lo_row, hi_row, dtype=idx_t), r
+                )
+                w = np.arange(t, dtype=idx_t) - np.repeat(
+                    np.cumsum(np.concatenate([[0], r[:-1]])).astype(idx_t),
+                    r,
                 )
                 b_idx = base[a_idx] + w
-                ham = _popcount64(sks[a_idx] ^ sks[b_idx])
+                if sks32 is not None:
+                    ham = _popcount32(sks32[a_idx] ^ sks32[b_idx]).astype(
+                        np.int64
+                    )
+                else:
+                    ham = _popcount64(sks[a_idx] ^ sks[b_idx])
                 if max_hamming is not None:
                     m = ham <= max_hamming
                     a_idx, b_idx, ham = a_idx[m], b_idx[m], ham[m]

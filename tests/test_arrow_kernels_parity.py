@@ -168,3 +168,108 @@ def test_semdedup_keep_rule_ties(spark):
     )
     kept = S.semdedup(df, threshold=0.9, dim=4, n_centroids=4).collect()
     assert {r["vec_id"] for r in kept} == {3}
+
+
+def test_hashed_ngram_features_arrow_matches_catalyst(spark, hostile_df):
+    """The DSIR feature kernel (Arrow, md5-per-distinct-feature) must
+    emit the same (id, bucket) MULTISET as the Catalyst per-occurrence
+    form on hostile whitespace/empty/null texts."""
+    from dbus_spark.operators import text as TX
+
+    got = _rows(
+        TX.hashed_ngram_features(hostile_df, n_buckets=64),
+        ["doc_id", "bucket"],
+    )
+    ref = _rows(
+        TX.hashed_ngram_features_catalyst(hostile_df, n_buckets=64),
+        ["doc_id", "bucket"],
+    )
+    assert got == ref
+
+
+def test_winnow_match_pairs_segment_matches_join_form(spark, hostile_df):
+    """The one-shuffle segment-pair enumeration must emit exactly the
+    self-join's pair counts (including the local max_df cut)."""
+    for max_df in (None, 3):
+        got = _rows(
+            D.winnow_match_pairs(
+                hostile_df, min_shared=1, max_df=max_df
+            ),
+            ["id_a", "id_b", "n_shared"],
+        )
+        base = D.winnow_fingerprints(hostile_df).filter(
+            F.col("fp").isNotNull()
+        )
+        fps = base
+        if max_df is not None:
+            rare = (
+                base.groupBy("fp")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("fp")
+            )
+            fps = base.join(rare, on="fp", how="left_semi")
+        a, b = fps.alias("a"), fps.alias("b")
+        ref = _rows(
+            a.join(b, on="fp")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 1),
+            ["id_a", "id_b", "n_shared"],
+        )
+        assert got == ref, f"max_df={max_df}"
+
+
+def test_ngram_jaccard_segment_matches_join_form(spark, hostile_df):
+    """The one-aggregation segment form (pairs + self-size rows) must
+    reproduce the self-join's jaccard values exactly."""
+    from dbus_spark.operators.dedup import shingles_exploded_arrow
+
+    for max_df in (None, 3):
+        got = _rows(
+            D.ngram_jaccard_pairs(
+                hostile_df, n=2, threshold=0.0, max_df=max_df
+            ),
+            ["id_a", "id_b", "jaccard"],
+        )
+        sh = shingles_exploded_arrow(hostile_df, "doc_id", "text", 2)
+        sh = sh.persist()
+        fps = sh
+        if max_df is not None:
+            rare = (
+                sh.groupBy("s")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("s")
+            )
+            fps = sh.join(rare, on="s", how="left_semi")
+        sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a, b = fps.alias("a"), fps.alias("b")
+        pairs = (
+            a.join(b, on="s")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count("*").alias("common"))
+            .join(sizes.select(F.col("doc_id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), on="id_a")
+            .join(sizes.select(F.col("doc_id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), on="id_b")
+        )
+        jac = F.col("common") / (
+            F.col("n_a") + F.col("n_b") - F.col("common")
+        )
+        ref = _rows(
+            pairs.select(
+                "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+            ).filter(F.col("jaccard") > 0.0),
+            ["id_a", "id_b", "jaccard"],
+        )
+        sh.unpersist()
+        assert got == ref, f"max_df={max_df}"
