@@ -942,13 +942,128 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of
     (h32(shingle) % p * a_i + b_i) % p. One md5 per shingle total;
-    pure map-side -- no shuffle."""
+    pure map-side -- no shuffle.
+
+    Execution (r7): the md5 mode runs as an Arrow batch kernel
+    (:func:`_minhash_signature_arrow`) — one md5 per DISTINCT shingle
+    per batch + numpy affine permutations and a segmented min, instead
+    of an interpreted md5+conv+mod HOF step per (shingle × permutation
+    evaluation) — value-identical incl. the [null]*n signature of
+    short/null docs (pinned by parity test and the DuckDB oracle).
+    xxhash64 stays Catalyst (codegen'd hash, no cheap Python
+    replica)."""
+    if hash_fn == "md5":
+        return _minhash_signature_arrow(
+            df, id_col, text_col, n_hashes, shingle_n
+        )
+    return minhash_signature_catalyst(
+        df, id_col, text_col, n_hashes, shingle_n, hash_fn
+    )
+
+
+def minhash_signature_catalyst(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The Catalyst HOF signature — the xxhash64 production mode, and
+    (with md5) the parity reference for the Arrow kernel."""
     hashed = df.select(
         F.col(id_col),
         _shingle_hashes(text_col, shingle_n, hash_fn).alias("_hs"),
     )
     return hashed.select(
         F.col(id_col), minhash_sig_col(F.col("_hs"), n_hashes).alias("sig")
+    )
+
+
+def _minhash_signature_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Arrow/numpy execution of the md5 MinHash signature — identical
+    values to the Catalyst HOF form: same tokenization (the Java-\\s
+    parity split), same per-doc DISTINCT word shingles, same
+    md5-h32 % p base hash and affine permutations; docs with no
+    shingles (fewer than ``shingle_n`` tokens, incl. null text) emit
+    the same all-null signature the Catalyst array_min-over-empty
+    produces."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = np.asarray(minhash_coeffs(n_hashes), dtype=np.int64)
+    _JAVA_WS = r"[ \t\n\x0b\f\r]+"
+    id_type = df.schema[id_col].dataType.simpleString()
+    null_sig = [None] * n_hashes
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            toks = (
+                pdf[text_col]
+                .str.strip(" ")
+                .str.split(_JAVA_WS, regex=True)
+                .explode()
+            )
+            toks = toks[toks.notna()]
+            g = toks.groupby(level=0)
+            sh = toks
+            for j in range(1, shingle_n):
+                sh = sh + " " + g.shift(-j)
+            sh = sh.dropna()
+            sdf = pd.DataFrame(
+                {"i": sh.index.to_numpy(), "s": sh.to_numpy()}
+            ).drop_duplicates()  # array_distinct parity, per doc
+            sigs: list = [null_sig] * len(pdf)
+            if len(sdf):
+                uniq, inv = np.unique(
+                    sdf["s"].to_numpy(), return_inverse=True
+                )
+                uh = (
+                    np.array(
+                        [
+                            int(
+                                hashlib.md5(u.encode("utf-8")).hexdigest()[
+                                    :8
+                                ],
+                                16,
+                            )
+                            for u in uniq
+                        ],
+                        dtype=np.int64,
+                    )
+                    % MINHASH_P
+                )
+                base = uh[inv]
+                # doc index is non-decreasing: explode + group-shift +
+                # dropna + per-doc drop_duplicates all preserve row
+                # order, so a searchsorted segmentation is valid
+                doc_of = sdf["i"].to_numpy()
+                perms = (
+                    base[:, None] * coeffs[None, :, 0]
+                    + coeffs[None, :, 1]
+                ) % MINHASH_P
+                have = np.unique(doc_of)
+                starts = np.searchsorted(doc_of, have)
+                mins = np.minimum.reduceat(perms, starts, axis=0)
+                for row_i, doc in enumerate(have):
+                    sigs[doc] = mins[row_i].tolist()
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sig": sigs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, sig array<long>"
     )
 
 

@@ -265,6 +265,7 @@ def tfidf_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms (tf × the smoothed
     :func:`corpus_idf` idf; ties score DESC then token ASC) — the
@@ -304,7 +305,7 @@ def tfidf_topk(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("token")
     )
-    return (
+    out = (
         tf.join(idf, on="token")
         .select(
             F.col(id_col),
@@ -315,6 +316,16 @@ def tfidf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    # eager materialize + release the token cache: the persisted
+    # exploded projection leaked into the session per invocation (r7
+    # leak sweep — cacheManager entries are not GC-cleaned, and a
+    # bench run invokes this repeatedly). ``materialize=False`` returns
+    # the lazy frame instead (plan inspection / further composition —
+    # the caller then owns the cache lifetime).
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        exploded.unpersist()
+    return out
 
 
 def unigram_logprobs(
@@ -347,7 +358,15 @@ def unigram_logprobs(
     """
     if doc_tokens is None:
         doc_tokens = df.select(F.explode(tokens(text_col)).alias("token"))
-    counts = doc_tokens.groupBy("token").agg(F.count("*").alias("c"))
+    # materialize the |vocab|-bounded counts ONCE (eager localCheckpoint
+    # — reference-tracked blocks, nothing leaks): the T+V aggregation
+    # below is an action, and every downstream consumer action (the
+    # lp6 join build, a caller's sum/count/collect over the returned
+    # LM) would otherwise re-run the full corpus explode+count (r7:
+    # the streaming LM-policy bench paid that 4x per run)
+    counts = doc_tokens.groupBy("token").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("c").alias("T"), F.count("*").alias("V")
     ).first()
@@ -367,6 +386,7 @@ def doc_logppl(
     text_col: str = "text",
     lm: DataFrame | None = None,
     oov_lp6: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document unigram cross-entropy (mean negative log-prob per
     token, nats): ``(id, n_tokens, logppl)`` with ``logppl =
@@ -404,10 +424,17 @@ def doc_logppl(
     joined = exploded.join(
         lm.select("token", "lp6"), on="token", how="left"
     )
-    return joined.groupBy(id_col).agg(
+    out = joined.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(-F.sum(lp) / (F.count("*") * 1e6), 4).alias("logppl"),
     )
+    if materialize and exploded.is_cached:
+        # self-trained path: eager materialize + release the token
+        # cache (same leak discipline as tfidf_topk; materialize=False
+        # keeps the lazy frame for plan inspection / composition)
+        out = out.localCheckpoint(eager=True)
+        exploded.unpersist()
+    return out
 
 
 def collect_unigram_lm(lm: DataFrame) -> dict:
@@ -544,6 +571,7 @@ def dsir_logratio(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_text_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169
     — public): per document, the mean per-token log-likelihood RATIO
@@ -634,10 +662,12 @@ def dsir_logratio(
             + F.lit(0.0)
         ).alias("dsir_logratio"),
     )
-    # eager materialize + release the shared caches (leak discipline)
-    out = out.localCheckpoint(eager=True)
-    for c in (exploded, raw_lm, tgt_lm):
-        c.unpersist()
+    # eager materialize + release the shared caches (leak discipline;
+    # materialize=False keeps the lazy frame — caller owns the caches)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for c in (exploded, raw_lm, tgt_lm):
+            c.unpersist()
     return out
 
 
@@ -752,6 +782,7 @@ def dsir_logratio_hashed(
     text_col: str = "text",
     target_text_col: str | None = None,
     n_buckets: int = 65536,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR importance weight over HASHED n-gram features — the form
     the paper actually ships (Xie et al. 2023, arXiv:2302.03169, use
@@ -842,10 +873,12 @@ def dsir_logratio_hashed(
     )
     # materialize the (per-doc, small) rollup eagerly and release the
     # shared caches — the ngram_jaccard_pairs leak discipline
-    out = out.localCheckpoint(eager=True)
-    feats.unpersist()
-    for c in lm_caches:
-        c.unpersist()
+    # (materialize=False keeps the lazy frame — caller owns the caches)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        feats.unpersist()
+        for c in lm_caches:
+            c.unpersist()
     return out
 
 

@@ -273,3 +273,23 @@ def test_ngram_jaccard_segment_matches_join_form(spark, hostile_df):
         )
         sh.unpersist()
         assert got == ref, f"max_df={max_df}"
+
+
+def test_minhash_signature_arrow_matches_catalyst(spark, hostile_df):
+    """The Arrow MinHash signature kernel must reproduce the Catalyst
+    md5 form exactly, including the all-null signature of short/null
+    docs."""
+    for shingle_n in (3, 1):
+        got = sorted(
+            (r["doc_id"], tuple(r["sig"]) if r["sig"] is not None else None)
+            for r in D.minhash_signature(
+                hostile_df, shingle_n=shingle_n
+            ).collect()
+        )
+        ref = sorted(
+            (r["doc_id"], tuple(r["sig"]) if r["sig"] is not None else None)
+            for r in D.minhash_signature_catalyst(
+                hostile_df, shingle_n=shingle_n
+            ).collect()
+        )
+        assert got == ref, f"shingle_n={shingle_n}"
