@@ -33,18 +33,27 @@ from dbus_spark.sources.batch import load_table
 
 
 def nullable_long_object(s):
-    """Nullable integer pandas column → object dtype with real None.
+    """Nullable integer pandas column → object dtype with real None
+    and real Python ints.
 
     Every ``spark.createDataFrame(pandas)`` in this file must survive a
     VANILLA session (Arrow off — the driver's config): the non-Arrow
     ``_createFromLocal`` path degrades pandas ``Int64``/``pd.NA`` to a
     float ``nan`` that LongType verification rejects (r6 verdict #1,
-    the ``asof_stream_replica`` crash). Object dtype with Python
-    ``None`` round-trips under both configs — the same conversion the
-    streaming as-of operator's emit path uses (operators/join.py)."""
-    import pandas as pd  # noqa: F401  (documents the contract)
+    the ``asof_stream_replica`` crash). Crucially the SOURCE column is
+    itself float64 under that session (Arrow-off ``toPandas`` of a
+    nullable long yields floats), so a bare ``astype(object)`` keeps
+    float OBJECTS (213.0) that LongType verification rejects just the
+    same — every non-null value must be coerced to ``int`` (r7 vanilla
+    sweep found exactly this residue of the r6 crash). Object dtype
+    with Python ``int``/``None`` round-trips under both configs."""
+    import pandas as pd
 
-    return s.astype(object).where(s.notna(), None)
+    return pd.Series(
+        [None if pd.isna(v) else int(v) for v in s],
+        index=s.index,
+        dtype=object,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

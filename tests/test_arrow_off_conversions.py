@@ -27,10 +27,24 @@ def arrow_off(spark):
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
 
 
-def test_nullable_long_object_survives_arrow_off(arrow_off):
-    """The exact asof-replica conversion: a nullable-Int64 column with
-    NA (purchase with no prior click) rebuilt as a LongType field."""
-    src = pd.Series([1, None, 3], dtype="Int64")
+@pytest.mark.parametrize(
+    "src",
+    [
+        pd.Series([1, None, 3], dtype="Int64"),
+        # the REAL replica input under a vanilla driver session:
+        # Arrow-off toPandas of a nullable long yields float64 — a
+        # bare astype(object) keeps float OBJECTS (213.0) which
+        # LongType verification rejects exactly like pd.NA (r7
+        # vanilla-sweep finding; the r6 fix only handled the NA half)
+        pd.Series([1.0, np.nan, 3.0], dtype="float64"),
+        pd.Series([1, None, 3], dtype=object),
+    ],
+    ids=["Int64-extension", "float64-nan", "object"],
+)
+def test_nullable_long_object_survives_arrow_off(arrow_off, src):
+    """The exact asof-replica conversion: a nullable column with NA
+    (purchase with no prior click) rebuilt as a LongType field, from
+    every dtype the drain can hand over."""
     out = pd.DataFrame(
         {
             "user_id": np.array([10, 11, 12], dtype=np.int64),
