@@ -70,24 +70,31 @@ def generate_transcripts(
     total = int(sizes.sum())
 
     conv_ord = np.repeat(np.arange(n_convs), sizes)
-    # per-CONVERSATION name table indexed per row: the np.char
-    # add/zfill pair over all rows was ~0.2 s per build (vec_string on
-    # 273k elements); over n_convs it is negligible. Identical values.
+    # per-CONVERSATION name table indexed per row, as OBJECT dtype: a
+    # fixed-width numpy unicode array here means pandas re-converts all
+    # total rows U->object at frame build (measured ~0.4 s per column);
+    # an object table fancy-indexes as pointer copies. Identical values.
     conv_names = np.char.add(
         "conv", np.char.zfill(np.arange(n_convs).astype(str), 8)
-    )
+    ).astype(object)
     conv_id = conv_names[conv_ord]
     turn_idx = np.concatenate([np.arange(s) for s in sizes]).astype(np.int32)
 
     # Roles: user starts every conversation; then a user/assistant cycle
     # with seeded tool turns replacing ~30% of assistant follow-ups.
-    base_cycle = _ROLES[turn_idx % 3]  # user, assistant, tool, user, ...
+    # Computed as int codes (0=user, 1=assistant, 2=tool) so the string
+    # materialization is one fancy index into a 3-element object table
+    # instead of per-row unicode compares + a U->object re-conversion.
+    role_code = (turn_idx % 3).astype(np.int8)  # user, assistant, tool, ...
     demote = rng.random(total) < 0.3
-    role = np.where((base_cycle == "tool") & demote, "assistant", base_cycle)
-    role[turn_idx == 0] = "user"
+    role_code = np.where((role_code == 2) & demote, np.int8(1), role_code)
+    role_code[turn_idx == 0] = 0
+    role = _ROLES.astype(object)[role_code]
 
     tool = np.where(
-        role == "tool", _TOOLS[rng.integers(0, len(_TOOLS), total)], None
+        role_code == 2,
+        _TOOLS.astype(object)[rng.integers(0, len(_TOOLS), total)],
+        None,
     )
 
     # Event time: conversation k starts at base + k*7s; per-turn gaps
@@ -134,10 +141,17 @@ def generate_transcripts(
         joined = [
             " ".join(vocab[word_ids[s:e]]) for s, e in zip(starts, ends)
         ]
-    # (np.char.add chains benchmark ~3x slower than this comp)
-    text = np.array(
-        [f"t{c}-{t} {w}" for c, t, w in zip(conv_id, turn_idx, joined)]
-    )
+    # "t{conv}-{turn} {salad}", assembled from per-conversation and
+    # per-turn-value piece tables (tiny: n_convs / max_turns entries)
+    # so the per-row work is two str concats, no int formatting. Kept
+    # as a plain list — np.array() on 273k variable-length strings
+    # builds a fixed-width U-array that pandas immediately re-converts,
+    # ~1.1 s of pure dtype churn per fixture build.
+    pref = np.array([f"t{c}-" for c in conv_names], dtype=object)[conv_ord]
+    mid = np.array(
+        [f"{i} " for i in range(int(turn_idx.max()) + 1)], dtype=object
+    )[turn_idx]
+    text = list(map(str.__add__, map(str.__add__, pref, mid), joined))
 
     # Arrival (processing) time: event time + bounded jitter (the
     # out-of-order fixture) + big shifts for the late-data fixture.
