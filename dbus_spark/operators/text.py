@@ -302,11 +302,24 @@ def tfidf_topk(
     idf = corpus_idf(
         df, text_col, n_docs=n_docs, doc_tokens=tf
     ).select("token", "idf")
+    if materialize:
+        # the idf side is |vocab|-sized: when it fits, broadcast it so
+        # the attach never shuffles the (doc, token) tf stream — the
+        # same measured-size rule as dsir_logratio's LM attach (the
+        # count also materializes the persisted frame, so the idf
+        # subtree runs once; released with the token cache below). The
+        # lazy materialize=False form keeps the shuffle join so the
+        # returned plan stays action-free for the caller.
+        idf = idf.persist(StorageLevel.MEMORY_AND_DISK)
+        n_vocab = idf.count()
+        idf_side = F.broadcast(idf) if n_vocab <= 2_000_000 else idf
+    else:
+        idf_side = idf
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("token")
     )
     out = (
-        tf.join(idf, on="token")
+        tf.join(idf_side, on="token")
         .select(
             F.col(id_col),
             "token",
@@ -325,6 +338,7 @@ def tfidf_topk(
     if materialize:
         out = out.localCheckpoint(eager=True)
         exploded.unpersist()
+        idf.unpersist()
     return out
 
 
