@@ -170,12 +170,26 @@ def neardup_pairs(
             margin, False,
         )
 
-    raw = exploded.groupBy("gi", "gj").applyInPandas(
+    raw = _pin_groups(exploded, "gi", "gj").groupBy("gi", "gj").applyInPandas(
         verify, schema="id_a long, id_b long, _raw double"
     )
     return raw.select(
         "id_a", "id_b", F.round(F.col("_raw"), 4).alias("sim")
     ).filter(F.col("sim") > threshold)
+
+
+def _pin_groups(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin the partition count of a groupBy().applyInPandas verify
+    stage: an explicit repartition(N, cols) provides exactly the
+    hash partitioning the groupBy needs (one Exchange, plan-checked),
+    but with a count AQE will not coalesce. Without it AQE sizes the
+    exchange by BYTES — and the verify kernels' work is quadratic per
+    group, so on sf1.0 the whole brute-force grid was measured running
+    as ONE post-coalesce partition (guide §2.5: partition by work, not
+    bytes). N follows spark.sql.shuffle.partitions, the knob that
+    already scales with the cluster."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
@@ -949,7 +963,7 @@ def neardup_pairs_lsh(
         nrm = _row_norms(V)
         return _pair_rows_grid(ids, V, nrm, ids, V, nrm, margin, True)
 
-    raw = tb.groupBy("tbl", "bucket").applyInPandas(
+    raw = _pin_groups(tb, "tbl", "bucket").groupBy("tbl", "bucket").applyInPandas(
         verify, schema="id_a long, id_b long, _raw double"
     )
     return (
@@ -1031,7 +1045,7 @@ def neardup_pairs_ivf(
         nrm = _row_norms(V)
         return _pair_rows_grid(ids, V, nrm, ids, V, nrm, margin, True)
 
-    raw = probed.groupBy("cell").applyInPandas(
+    raw = _pin_groups(probed, "cell").groupBy("cell").applyInPandas(
         verify, schema="id_a long, id_b long, _raw double"
     )
     return (
@@ -1278,7 +1292,8 @@ def semdedup(
         )
 
     return (
-        base.groupBy("cell")
+        _pin_groups(base, "cell")
+        .groupBy("cell")
         .applyInPandas(keep, schema="_id long, cell int, cent_sim double")
         .select(F.col("_id").alias(id_col), "cell", "cent_sim")
     )
