@@ -293,3 +293,40 @@ def test_minhash_signature_arrow_matches_catalyst(spark, hostile_df):
             ).collect()
         )
         assert got == ref, f"shingle_n={shingle_n}"
+
+
+def test_repetition_metrics_arrow_matches_catalyst(spark, hostile_df):
+    """The map-side repetition kernel (r7) must emit the same rows as
+    the Catalyst two-aggregation + join form on hostile
+    whitespace/empty/null texts — including the NULL bigram share of
+    < 2-token docs, the absence of null-text docs, and the HALF_UP
+    4 dp rounding of the shares."""
+    from dbus_spark.operators import text as TX
+
+    got = _rows(
+        TX.repetition_metrics(hostile_df),
+        ["doc_id", "top_token_share", "top_bigram_share"],
+    )
+    ref = _rows(
+        TX.repetition_metrics_catalyst(hostile_df),
+        ["doc_id", "top_token_share", "top_bigram_share"],
+    )
+    assert got == ref
+
+
+def test_round4_half_up_matches_spark_round(spark):
+    """The numpy HALF_UP replica must match F.round(x, 4) bit-for-bit,
+    including values that land within float error of a .00005
+    boundary (the Decimal band path)."""
+    import numpy as np
+
+    from dbus_spark.operators.text import _round4_half_up
+
+    vals = [0.12345, 0.12344999999999999, 1.0, 0.0, 0.00005,
+            0.99995, 0.33333333333333331, 2.0 / 3.0, 1.0 / 7.0,
+            0.5, 0.74999999999999989, 3.0 / 7.0, 0.25]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    ref = [r["r"] for r in
+           df.select(F.round("v", 4).alias("r")).collect()]
+    got = _round4_half_up(np.array(vals)).tolist()
+    assert got == ref

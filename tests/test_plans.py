@@ -282,7 +282,12 @@ def test_gopher_and_repetition_plan_shapes(spark):
     r = entrymod.queries()["doc_repetition"](spark, SF_DIR)
     rplan = _plan(r)
     assert "CartesianProduct" not in rplan
-    assert rplan.count("HashAggregate") >= 4  # partial+final x 2 metrics
+    # r7: one map-side Arrow pass — every gram lives in its doc's own
+    # row, so there is no gram shuffle, no aggregation pair, no join
+    # (was: 6 exchanges + a doc-keyed join of two aggregation trees)
+    assert "MapInPandas" in rplan
+    assert "Join" not in rplan
+    assert rplan.count("+- Exchange") <= 1  # the _docs() policy knob
 
 
 def test_q3_filters_push_below_joins(spark):
