@@ -308,7 +308,12 @@ def _winnow_fingerprints_arrow(
             null_ids: list[object] = []
             if all_subs:
                 flat = np.concatenate(all_subs)
-                uniq, inv = np.unique(flat, return_inverse=True)
+                # hash-based factorize, not np.unique: a sort-based
+                # unique over millions of OBJECT grams was 6.2 s of a
+                # 10k-doc batch vs 0.47 s factorized (the pool is
+                # NaN-free by construction, and downstream only needs
+                # uh[inv] — unique ORDER is irrelevant to the hashes)
+                inv, uniq = pd.factorize(flat)
                 uh = np.array(
                     [
                         int(hashlib.md5(u).hexdigest()[:8], 16)
@@ -1062,9 +1067,9 @@ def _minhash_signature_arrow(
             ).drop_duplicates()  # array_distinct parity, per doc
             sigs: list = [null_sig] * len(pdf)
             if len(sdf):
-                uniq, inv = np.unique(
-                    sdf["s"].to_numpy(), return_inverse=True
-                )
+                # factorize, not sort-based object unique (NaN-free
+                # pool; unique order irrelevant — see winnow kernel)
+                inv, uniq = pd.factorize(sdf["s"].to_numpy())
                 uh = (
                     np.array(
                         [
@@ -1298,7 +1303,9 @@ def _simhash_arrow(
                 dtype=object,
             )
             if len(flat):
-                uniq, inv = np.unique(flat, return_inverse=True)
+                # factorize, not sort-based object unique (NaN-free
+                # pool; unique order irrelevant — see winnow kernel)
+                inv, uniq = pd.factorize(flat)
                 uh = np.array(
                     [
                         int(

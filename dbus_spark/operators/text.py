@@ -835,7 +835,9 @@ def hashed_ngram_features(
             feats = pd.concat([toks, bigrams])
             if not len(feats):
                 continue
-            uniq, inv = np.unique(feats.to_numpy(), return_inverse=True)
+            # factorize, not sort-based object unique (NaN-free pool;
+            # unique order irrelevant — see the winnow kernel note)
+            inv, uniq = pd.factorize(feats.to_numpy())
             hb = np.fromiter(
                 (
                     int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16)
