@@ -472,3 +472,31 @@ def test_topk_tokens_plans_take_ordered(spark):
     q = entrymod.queries()["corpus_topk_tokens"](spark, SF_DIR)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pair_kernels_pin_partition_counts(spark):
+    """r7: the quadratic-work stages must shuffle with an EXPLICIT
+    partition count (REPARTITION_BY_NUM), never a bare
+    repartition(cols)/groupBy exchange that AQE can coalesce by bytes
+    — measured on sf1.0, AQE folded the simhash sketch stream to 13
+    partitions and the brute-force cosine grid to ONE, serializing
+    the pair grids (the shuffle's bytes understate the quadratic
+    downstream work)."""
+    from dbus_spark.operators import similarity as S
+
+    for name in (
+        "doc_simhash_neardup_full",
+        "doc_winnow_pairs",
+        # (doc_jaccard_pairs rides the same _segment_pairs code path
+        # as doc_winnow_pairs but its returned plan starts at the
+        # mid-pipeline checkpoint, which hides the exchange)
+    ):
+        plan = _plan(entrymod.queries()[name](spark, SF_DIR))
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert "REPARTITION_BY_COL" not in plan, name
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = _plan(S.neardup_pairs(emb, threshold=0.9))
+    # the verify groupBy must ride the explicit exchange (exactly one
+    # hash exchange feeding FlatMapGroupsInPandas, and it is pinned)
+    assert "REPARTITION_BY_NUM" in p
+    assert "FlatMapGroupsInPandas" in p
