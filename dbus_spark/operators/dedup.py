@@ -650,6 +650,7 @@ def _bucketed_hamming_pairs(
     max_hamming: int | None,
     emit_hamming: bool,
     n_sub: int = 1,
+    key_widths: list[int] | None = None,
 ) -> DataFrame:
     """Within-bucket pair enumeration + popcount verify, fully
     vectorized: shuffle the sketch rows once on the bucket key(s),
@@ -677,7 +678,68 @@ def _bucketed_hamming_pairs(
     # null sketches (null text) never join on their bucket in the join
     # form — drop them before pairing, same semantics
     sk = sk.filter(F.col("simhash").isNotNull())
-    if n_sub > 1:
+    # ``key_widths`` (bit width per key_col, caller-guaranteed bounds,
+    # all values non-negative): pack (keys, gi, gj, sub) into ONE long
+    # so the Arrow crossing ships 3 columns instead of 7 and the JVM
+    # sort compares one long — measured several-fold on the per-task
+    # read wall at 32 concurrent local tasks. Sort order of the packed
+    # long equals the multi-column (keys..., gi, gj, sub) order
+    # exactly (non-negative fields, high-to-low layout), and the
+    # kernel decodes the same arrays, so results are identical.
+    packed_mode = key_widths is not None
+    sb = max(1, (n_sub - 1).bit_length())  # bits for each of gi/gj/sub
+    if packed_mode:
+        if len(key_widths) != len(key_cols):
+            raise ValueError("key_widths must align with key_cols")
+        if sum(key_widths) + 3 * sb > 62:
+            raise ValueError("packed segment key exceeds 62 bits")
+        kp = F.col(key_cols[0]).cast("long")
+        for c, w in zip(key_cols[1:], key_widths[1:]):
+            kp = F.shiftleft(kp, w).bitwiseOR(F.col(c).cast("long"))
+        if n_sub > 1:
+            sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast(
+                "long"
+            )
+            grp = F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_sub"), F.lit(q)).alias("gi"),
+                        F.greatest(F.col("_sub"), F.lit(q)).alias("gj"),
+                    )
+                    for q in range(n_sub)
+                ]
+            )
+            sk = (
+                sk.withColumn("_kp", kp)
+                .withColumn("_sub", sub)
+                .select(
+                    "_kp", id_col, "simhash", "_sub",
+                    F.explode(grp).alias("_g"),
+                )
+                .select(
+                    F.shiftleft(
+                        F.shiftleft(
+                            F.shiftleft(F.col("_kp"), sb).bitwiseOR(
+                                F.col("_g.gi").cast("long")
+                            ),
+                            sb,
+                        ).bitwiseOR(F.col("_g.gj").cast("long")),
+                        sb,
+                    )
+                    .bitwiseOR(F.col("_sub"))
+                    .alias("_packed"),
+                    id_col,
+                    "simhash",
+                )
+            )
+        else:
+            sk = sk.select(
+                F.shiftleft(kp, 3 * sb).alias("_packed"),
+                id_col,
+                "simhash",
+            )
+        seg_cols = sort_cols = shuffle_cols = ["_packed"]  # unused below
+    elif n_sub > 1:
         sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast("int")
         grp = F.array(
             *[
@@ -728,7 +790,11 @@ def _bucketed_hamming_pairs(
             else pd.concat(chunks, ignore_index=True)
         )
         n = len(pdf)
-        keyarrs = [pdf[c].to_numpy(np.int64) for c in seg_cols]
+        if packed_mode:
+            pk = pdf["_packed"].to_numpy(np.int64)
+            keyarrs = [pk >> sb]  # segment identity excludes sub
+        else:
+            keyarrs = [pdf[c].to_numpy(np.int64) for c in seg_cols]
         ids = pdf[id_col].to_numpy(np.int64)
         sks = pdf["simhash"].to_numpy(np.int64)
         # 32-bit fast path: xor + popcount at half the memory traffic
@@ -746,9 +812,16 @@ def _bucketed_hamming_pairs(
         seg_of_row = np.repeat(np.arange(len(starts)), lens)
         pos = np.arange(n) - starts[seg_of_row]
         if n_sub > 1:
-            gi = pdf["_gi"].to_numpy(np.int64)[starts]
-            gj = pdf["_gj"].to_numpy(np.int64)[starts]
-            subv = pdf["_sub"].to_numpy(np.int64)
+            if packed_mode:
+                submask = (1 << sb) - 1
+                seg_start = keyarrs[0][starts]
+                gi = (seg_start >> sb) & submask
+                gj = seg_start & submask
+                subv = pk & submask
+            else:
+                gi = pdf["_gi"].to_numpy(np.int64)[starts]
+                gj = pdf["_gj"].to_numpy(np.int64)[starts]
+                subv = pdf["_sub"].to_numpy(np.int64)
             diag_seg = gi == gj
             # cross segments: a-side (sub == gi) sorts first
             is_a = subv == gi[seg_of_row]
@@ -820,13 +893,21 @@ def _bucketed_hamming_pairs(
     # 13 partitions) but pair enumeration is quadratic per segment, so
     # the n_sub spread only works if the partition count holds
     n_part = int(sk.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = sk.repartition(
-        n_part, *[F.col(c) for c in shuffle_cols]
-    ).sortWithinPartitions(*sort_cols)
+    if packed_mode:
+        # shuffle on the segment identity (sub excluded — every row of
+        # a segment must land together), sort on the full packed key
+        part = sk.repartition(
+            n_part, F.shiftright(F.col("_packed"), sb)
+        ).sortWithinPartitions("_packed")
+        sel = ["_packed", id_col, "simhash"]
+    else:
+        part = sk.repartition(
+            n_part, *[F.col(c) for c in shuffle_cols]
+        ).sortWithinPartitions(*sort_cols)
+        sel = list(dict.fromkeys(sort_cols + [id_col, "simhash"]))
     schema = f"id_a long, id_b long" + (
         ", hamming integer" if emit_hamming else ""
     )
-    sel = list(dict.fromkeys(sort_cols + [id_col, "simhash"]))
     return part.select(*sel).mapInPandas(gen, schema=schema).select(
         *out_cols
     )
@@ -858,7 +939,8 @@ def simhash_candidate_pairs(
         "bucket", F.shiftright("simhash", 32 - prefix_bits)
     )
     return _bucketed_hamming_pairs(
-        sk, ["bucket"], id_col, None, emit_hamming=False
+        sk, ["bucket"], id_col, None, emit_hamming=False,
+        key_widths=[prefix_bits],  # bucket < 2^prefix_bits
     )
 
 
@@ -888,7 +970,8 @@ def simhash_neardup_pairs(
     # bucket so pair multiplicity is 1 and no distinct is needed
     # (id_col is a key, same contract as the oracle)
     return _bucketed_hamming_pairs(
-        sk, ["bucket"], id_col, max_hamming, emit_hamming=True
+        sk, ["bucket"], id_col, max_hamming, emit_hamming=True,
+        key_widths=[prefix_bits],  # bucket < 2^prefix_bits
     )
 
 
@@ -952,6 +1035,8 @@ def simhash_neardup_pairs_blocked(
     return _bucketed_hamming_pairs(
         tb, ["tbl", "bucket"], id_col, max_hamming,
         emit_hamming=True, n_sub=8,
+        # tbl < n_blocks, bucket < 2^block_bits
+        key_widths=[max(1, (n_blocks - 1).bit_length()), block_bits],
     ).distinct()
 
 
